@@ -1,0 +1,231 @@
+"""Typed configuration tree.
+
+One dataclass per config block, covering every key of the reference's two
+YAML files (``/root/reference/config.yaml:1-41`` and
+``/root/reference/config_rnn.yaml:6-91``) plus the TPU-specific scaling
+knobs the reference does not have (env batch size, rollout chunk length,
+updates-per-iteration, mesh axes). Field defaults for :class:`EnvConfig`
+mirror the reference env's constructor defaults
+(``/root/reference/envs/my_pong_env_2p.py:19-39``); the shipped YAMLs under
+``configs/`` mirror the reference's tuned values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class EnvConfig:
+    """Two-player Pong environment parameters."""
+
+    render_size: int = 400          # viewer only; physics is on the unit square
+    paddle_width: float = 0.2
+    paddle_speed: float = 0.02
+    max_score: int = 3
+    enable_render: bool = False     # viewer only
+
+    enable_spin: bool = True
+    magnus_factor: float = 0.01
+    restitution: float = 0.9
+    friction: float = 0.2
+    ball_mass: float = 1.0
+    world_ball_radius: float = 0.03
+
+    ball_speed_range: Tuple[float, float] = (0.01, 0.05)
+    spin_range: Tuple[float, float] = (-10.0, 10.0)
+    ball_angle_intervals: Tuple[Tuple[float, float], Tuple[float, float]] = (
+        (-60.0, -30.0),
+        (30.0, 60.0),
+    )
+
+    speed_scale_every: int = 3
+    speed_increment: float = 0.2
+
+    # TPU-framework addition: hard step cap per episode so batched rollouts
+    # and eval matches are guaranteed to terminate under jit. 0 = disabled.
+    max_episode_steps: int = 0
+
+
+@dataclass
+class SelfPlayConfig:
+    """Generation-promotion loop shared by both trainer families.
+
+    Semantics follow /root/reference/scripts/train_iterative.py:210-297 and
+    train_rnn_iterative.py:707-898: learner B challenges frozen A; B is
+    promoted when its eval win rate vs A AND vs the opponent pool both clear
+    their thresholds; after ``max_retries_for_generation`` failed tries the
+    generation is checkpointed as ``_fault``, B is reset, and the generation
+    counts as done anyway.
+    """
+
+    max_generations: int = 8
+    episodes_per_generation: int = 2400
+    eval_episodes: int = 1000
+    max_retries_for_generation: int = 12
+    curr_win_threshold: float = 0.61
+    pool_win_threshold: float = 0.61
+    opponent_pool_ratio: float = 0.33
+    min_pool_generation: int = 2
+    win_rate_interval: int = 400
+
+
+@dataclass
+class DQNConfig:
+    """Feed-forward NoisyNet dueling DQN trainer (train_iterative.py analog)."""
+
+    selfplay: SelfPlayConfig = field(default_factory=SelfPlayConfig)
+
+    lr: float = 0.00025
+    gamma: float = 0.99
+    batch_size: int = 256
+    memory_size: int = 1_000_000
+    epsilon_decay: float = 0.995
+    min_epsilon: float = 0.02
+    target_update_interval: int = 1000
+
+    # PER (train_iterative.py:49-76, 113-114)
+    per_alpha: float = 0.6
+    per_beta_start: float = 0.4
+    per_beta_frames: int = 100_000
+    per_eps: float = 1e-6
+
+    # Reference trains only the noisy dueling heads, features frozen
+    # (train_iterative.py:96-104).
+    train_heads_only: bool = True
+
+    model_id: int = 5
+    init_model_path: Optional[str] = None
+    ckpt_dir: str = "checkpoints"
+    plot_dir: str = "plot"
+
+    # ---- TPU scaling knobs (no reference equivalent) ----
+    num_envs: int = 4096            # lockstep env batch, sharded over 'data'
+    rollout_length: int = 64        # env steps per jitted iteration
+    updates_per_iteration: int = 64 # SGD steps per iteration; ref does 1 SGD
+                                    # step per (single-env) env step, so
+                                    # updates/env-step = upd/(T*B) is the
+                                    # fidelity knob (train_iterative.py:244)
+    pool_max: int = 16              # static opponent-pool capacity
+
+
+@dataclass
+class DRQNConfig:
+    """Recurrent (LSTM) DRQN trainer (train_rnn_iterative.py analog)."""
+
+    selfplay: SelfPlayConfig = field(
+        default_factory=lambda: SelfPlayConfig(
+            max_generations=5,
+            episodes_per_generation=3000,
+            eval_episodes=500,
+            max_retries_for_generation=10,
+            curr_win_threshold=0.60,
+            pool_win_threshold=0.60,
+            opponent_pool_ratio=0.4,
+            win_rate_interval=500,
+        )
+    )
+
+    # Architecture (config_rnn.yaml:38-42)
+    feature_dim: int = 128
+    lstm_hidden_dim: int = 128
+    lstm_layers: int = 1
+    head_hidden_dim: int = 128
+
+    trace_length: int = 8
+    burn_in_length: int = 0         # scaffolded in the reference, disabled by
+                                    # default (train_rnn_iterative.py:431-448)
+
+    lr: float = 0.0001
+    gamma: float = 0.99
+    batch_size: int = 64
+    memory_size: int = 200_000      # episodes (reference deque capacity)
+    min_episodes_for_training_start: int = 10
+    initial_epsilon_per_generation: float = 1.0
+    epsilon_decay: float = 0.999
+    min_epsilon: float = 0.05
+    target_update_interval: int = 2000
+    max_episode_steps: int = 1000
+    grad_clip_norm: float = 1.0
+
+    model_id_prefix: str = "rnn_pong_soul_"
+    init_model_path_rnn: Optional[str] = None
+    ckpt_dir_rnn: str = "checkpoints_rnn"
+    plot_dir_rnn: str = "plot_rnn"
+    save_latest_checkpoint_interval_steps: int = 10_000
+    latest_checkpoint_filename: str = "latest_rnn_training_state"
+
+    # ---- TPU scaling knobs ----
+    num_envs: int = 1024
+    rollout_length: int = 128
+    updates_per_iteration: int = 32
+    pool_max: int = 16
+    # Device sequence buffer is fixed-shape: num_slots episode slots of
+    # max_slot_len steps each (reference stores ragged episodes in RAM).
+    buffer_slots: int = 8192
+    max_slot_len: int = 512
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh / sharding layout."""
+
+    data_axis: str = "data"         # env batch + replay shards
+    model_axis: str = "model"       # reserved (nets are tiny; spec-level only)
+    num_data: int = -1              # -1: all devices
+    num_model: int = 1
+
+
+@dataclass
+class ExperimentConfig:
+    env: EnvConfig = field(default_factory=EnvConfig)
+    dqn: DQNConfig = field(default_factory=DQNConfig)
+    drqn: DRQNConfig = field(default_factory=DRQNConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+
+
+def _from_dict(cls, data):
+    """Recursively build a dataclass from a (possibly partial) dict."""
+    if data is None:
+        return cls()
+    if not dataclasses.is_dataclass(cls):
+        return data
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    for name, f in fields.items():
+        if name not in data:
+            continue
+        value = data[name]
+        ftype = f.type
+        # Nested dataclass blocks are declared directly by their class.
+        nested = _NESTED.get((cls.__name__, name))
+        if nested is not None and isinstance(value, dict):
+            kwargs[name] = _from_dict(nested, value)
+        elif name == "ball_angle_intervals" and value is not None:
+            kwargs[name] = tuple(tuple(float(x) for x in iv) for iv in value)
+        elif name in ("ball_speed_range", "spin_range") and value is not None:
+            kwargs[name] = tuple(float(x) for x in value)
+        else:
+            kwargs[name] = value
+    base = cls()
+    return dataclasses.replace(base, **kwargs)
+
+
+_NESTED = {
+    ("ExperimentConfig", "env"): EnvConfig,
+    ("ExperimentConfig", "dqn"): DQNConfig,
+    ("ExperimentConfig", "drqn"): DRQNConfig,
+    ("ExperimentConfig", "mesh"): MeshConfig,
+    ("DQNConfig", "selfplay"): SelfPlayConfig,
+    ("DRQNConfig", "selfplay"): SelfPlayConfig,
+}
+
+
+def experiment_from_dict(data: dict) -> ExperimentConfig:
+    return _from_dict(ExperimentConfig, data)
