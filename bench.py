@@ -1,0 +1,123 @@
+"""Headline benchmark: vectorized PongEnv2P throughput on one chip.
+
+Measures env-steps/s of the jitted, vmapped env with auto-reset and both
+players driven by the hardcoded ball-follower policy (so paddle collisions,
+spin physics, scoring, and re-serves are all exercised — not an empty
+integrator loop). This is the BASELINE.json metric
+("env-steps/s/chip (vectorized PongEnv2P)"); the baseline target is 10M
+env-steps/s, so ``vs_baseline = value / 1e7``.
+
+Prints exactly one JSON line. Secondary numbers (train-iteration
+throughput) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pingpong_tpu.config import DQNConfig, EnvConfig
+from pingpong_tpu.env.pong import env_params_from_config, observe, reset, step_autoreset
+from pingpong_tpu.models.policy import ball_follower_action
+
+BATCH = 32768
+CHUNK = 1024        # env steps per device dispatch
+REPEATS = 5
+
+
+def make_rollout(env_params, batch, chunk):
+    def one_step(carry, _):
+        state, key = carry
+        key, k_step = jax.random.split(key)
+        obs_a, obs_b = observe(state)
+        act_a = ball_follower_action(obs_a)
+        act_b = ball_follower_action(obs_b)
+        step_keys = jax.random.split(k_step, batch)
+        state, out = jax.vmap(step_autoreset, in_axes=(None, 0, 0, 0, 0))(
+            env_params, state, step_keys, act_a, act_b
+        )
+        return (state, key), out.reward_b.sum()
+
+    @jax.jit
+    def rollout(state, key):
+        (state, key), rsum = jax.lax.scan(
+            one_step, (state, key), None, length=chunk
+        )
+        return state, key, rsum.sum()
+
+    return rollout
+
+
+def bench_env_steps():
+    env_params = env_params_from_config(EnvConfig(
+        paddle_speed=0.03, magnus_factor=0.025, restitution=1.0, friction=0.6,
+        ball_speed_range=(0.03, 0.05), spin_range=(-5, 5),
+        speed_scale_every=1, speed_increment=0.1,
+    ))
+    key = jax.random.PRNGKey(0)
+    key, k_env = jax.random.split(key)
+    env_keys = jax.random.split(k_env, BATCH)
+    state = jax.vmap(reset, in_axes=(None, 0))(env_params, env_keys)
+    rollout = make_rollout(env_params, BATCH, CHUNK)
+
+    # warmup/compile
+    state, key, _ = rollout(state, key)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        state, key, rsum = rollout(state, key)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    steps = BATCH * CHUNK * REPEATS
+    return steps / dt
+
+
+def bench_train_iteration():
+    """Secondary: full actor-learner iteration env-steps/s (stderr only)."""
+    from pingpong_tpu.models import qnet_init
+    from pingpong_tpu.train.dqn import DQNLearner, stack_opponents
+
+    cfg = DQNConfig(num_envs=8192, rollout_length=128,
+                    updates_per_iteration=64, batch_size=256,
+                    memory_size=1_048_576)
+    env_cfg = EnvConfig(
+        paddle_speed=0.03, magnus_factor=0.025, restitution=1.0, friction=0.6,
+        ball_speed_range=(0.03, 0.05), spin_range=(-5, 5),
+        speed_scale_every=1, speed_increment=0.1, max_episode_steps=4096,
+    )
+    learner = DQNLearner(env_cfg, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), [], cfg.pool_max)
+    n = jnp.int32(n)
+    state, m = learner.train_iteration(state, opp, n)  # compile
+    jax.block_until_ready(m.mean_loss)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = learner.train_iteration(state, opp, n)
+    jax.block_until_ready(m.mean_loss)
+    dt = time.perf_counter() - t0
+    return cfg.num_envs * cfg.rollout_length * iters / dt
+
+
+def main():
+    env_rate = bench_env_steps()
+    try:
+        train_rate = bench_train_iteration()
+        print(f"[bench] train-iteration env-steps/s: {train_rate:,.0f}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] train bench failed: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(env_rate),
+        "unit": "steps/s",
+        "vs_baseline": round(env_rate / 1e7, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Command-line interface.
+
+The reference's launcher is an interactive shell menu
+(``/root/reference/run.sh:25-109``: train / train-rnn / round-robin /
+arena / viewer) and its "flag system" is editing YAML and in-file dicts.
+Here every workload is a subcommand with ``--config`` YAML plus dotted
+``key=value`` overrides:
+
+    python -m pingpong_tpu.cli train        --config configs/qnet.yaml
+    python -m pingpong_tpu.cli train-rnn    --config configs/rnn.yaml
+    python -m pingpong_tpu.cli round-robin  --ckpt-dir checkpoints --out results_round_robin
+    python -m pingpong_tpu.cli arena        --ckpt-dir checkpoints --db arena_database.json
+    python -m pingpong_tpu.cli view         --ckpt-dir checkpoints --out view.gif
+    python -m pingpong_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pingpong_tpu.config import apply_overrides, load_config
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--workdir", default=".", help="working directory for outputs")
+    p.add_argument("--seed", type=int, default=None, help="override config seed")
+    p.add_argument(
+        "overrides", nargs="*", default=[],
+        help="dotted config overrides, e.g. dqn.num_envs=8192",
+    )
+
+
+def _load(args):
+    cfg = load_config(args.config)
+    cfg = apply_overrides(cfg, args.overrides)
+    if args.seed is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, seed=args.seed)
+    return cfg
+
+
+def cmd_train(args) -> int:
+    cfg = _load(args)
+    from pingpong_tpu.selfplay.loop import QNetSelfPlay
+    from pingpong_tpu.utils.metrics import MetricsLogger
+
+    logger = MetricsLogger(log_path=f"{args.workdir}/train_qnet_metrics.jsonl")
+    driver = QNetSelfPlay(
+        cfg.env, cfg.dqn, workdir=args.workdir, seed=cfg.seed, logger=logger
+    )
+    records = driver.run()
+    promoted = sum(1 for r in records if r.promoted)
+    print(f"done: {promoted}/{len(records)} generations promoted")
+    try:
+        from pingpong_tpu.utils.plotting import plot_selfplay_records
+
+        plot_selfplay_records(
+            records, f"{args.workdir}/{cfg.dqn.plot_dir}/training_iterative_rewards.png"
+        )
+    except Exception as e:  # plotting must never fail the run
+        print(f"[warn] plot failed: {e}", file=sys.stderr)
+    return 0
+
+
+def cmd_train_rnn(args) -> int:
+    cfg = _load(args)
+    from pingpong_tpu.selfplay.loop_rnn import DRQNSelfPlay
+    from pingpong_tpu.utils.metrics import MetricsLogger
+
+    logger = MetricsLogger(log_path=f"{args.workdir}/train_rnn_metrics.jsonl")
+    driver = DRQNSelfPlay(
+        cfg.env, cfg.drqn, workdir=args.workdir, seed=cfg.seed, logger=logger
+    )
+    records = driver.run()
+    promoted = sum(1 for r in records if r.promoted)
+    print(f"done: {promoted}/{len(records)} generations promoted")
+    return 0
+
+
+def cmd_round_robin(args) -> int:
+    cfg = _load(args)
+    from pingpong_tpu.evaluation.round_robin import run_round_robin
+
+    return run_round_robin(
+        cfg,
+        ckpt_dir=args.ckpt_dir,
+        out_dir=args.out,
+        episodes_per_match=args.episodes,
+        include_bot=not args.no_bot,
+        seed=cfg.seed,
+    )
+
+
+def cmd_arena(args) -> int:
+    cfg = _load(args)
+    from pingpong_tpu.evaluation.arena import run_arena
+
+    return run_arena(
+        cfg,
+        ckpt_dir=args.ckpt_dir,
+        db_path=args.db,
+        out_dir=args.out,
+        episodes_per_match=args.episodes,
+        include_bot=not args.no_bot,
+        seed=cfg.seed,
+    )
+
+
+def cmd_view(args) -> int:
+    cfg = _load(args)
+    from pingpong_tpu.viewer.replay import run_viewer
+
+    return run_viewer(
+        cfg,
+        model_a=args.model_a,
+        model_b=args.model_b,
+        out=args.out,
+        episodes=args.episodes,
+        interactive=args.interactive,
+        seed=cfg.seed,
+    )
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pingpong_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="QNet iterative self-play")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-rnn", help="DRQN (LSTM) iterative self-play")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_rnn)
+
+    p = sub.add_parser("round-robin", help="all-pairs tournament over checkpoints")
+    _add_common(p)
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--out", default="results_round_robin")
+    p.add_argument("--episodes", type=int, default=100)
+    p.add_argument("--no-bot", action="store_true")
+    p.set_defaults(fn=cmd_round_robin)
+
+    p = sub.add_parser("arena", help="persistent resumable tournament")
+    _add_common(p)
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--db", default="arena_database.json")
+    p.add_argument("--out", default="results_arena")
+    p.add_argument("--episodes", type=int, default=100)
+    p.add_argument("--no-bot", action="store_true")
+    p.set_defaults(fn=cmd_arena)
+
+    p = sub.add_parser("view", help="render an episode between two checkpoints")
+    _add_common(p)
+    p.add_argument("--model-a", default=None, help="checkpoint path (default: bot)")
+    p.add_argument("--model-b", default=None, help="checkpoint path (default: bot)")
+    p.add_argument("--out", default="view.gif")
+    p.add_argument("--episodes", type=int, default=1)
+    p.add_argument("--interactive", action="store_true", help="pygame window")
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

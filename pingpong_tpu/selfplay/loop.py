@@ -1,0 +1,256 @@
+"""Iterative self-play with win-rate-gated generation promotion (QNet).
+
+Host-side control flow mirroring
+``/root/reference/scripts/train_iterative.py:210-297`` exactly:
+
+* learner B trains against frozen A (or a pool member, per-episode with
+  prob ``opponent_pool_ratio``) for ``episodes_per_generation`` episodes;
+* B is evaluated greedily vs A over ``eval_episodes`` games and vs the
+  pool (uniform per-game opponent; empty pool counts as win rate 1.0,
+  ref :183-196);
+* both win rates >= thresholds → promotion: A <- B, checkpoint
+  ``model{id}-{gen}``; otherwise retry, and after
+  ``max_retries_for_generation`` tries checkpoint ``..._fault``, reset B
+  to the original weights with a fresh buffer/optimizer/epsilon, and count
+  the generation done anyway (ref :267-295);
+* the pool is loaded once at startup from every checkpoint in the ckpt
+  dir — fault checkpoints included, as the reference does (ref :199-207).
+
+The device side is fully batched: training episodes come from
+``DQNLearner.train_iteration`` (num_envs lockstep envs), evaluation from
+one jitted while-loop over all eval games at once
+(:mod:`pingpong_tpu.evaluation.match`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pingpong_tpu.checkpoint.serialize import qnet_to_dict
+from pingpong_tpu.checkpoint.store import save_checkpoint
+from pingpong_tpu.config.schema import DQNConfig, EnvConfig
+from pingpong_tpu.evaluation.match import (
+    QNET,
+    PolicySpec,
+    make_match_fn,
+)
+from pingpong_tpu.models.qnet import QNetParams, qnet_init
+from pingpong_tpu.selfplay.pool import load_params_any, load_pool
+from pingpong_tpu.train.dqn import DQNLearner, stack_opponents
+from pingpong_tpu.utils.metrics import MetricsLogger, Stopwatch, WinRateWindow
+
+
+@dataclasses.dataclass
+class GenerationRecord:
+    generation: int
+    promoted: bool
+    tries: int
+    win_vs_a: float
+    win_vs_pool: float
+    episodes: int
+    checkpoint: str
+
+
+class QNetSelfPlay:
+    """Driver object; ``run()`` executes the full generation loop."""
+
+    def __init__(
+        self,
+        env_cfg: EnvConfig,
+        cfg: DQNConfig,
+        workdir: str = ".",
+        seed: int = 0,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.env_cfg = env_cfg
+        self.cfg = cfg
+        self.workdir = Path(workdir)
+        self.ckpt_dir = self.workdir / cfg.ckpt_dir
+        self.logger = logger or MetricsLogger()
+        self.learner = DQNLearner(env_cfg, cfg)
+        self.key = jax.random.PRNGKey(seed)
+
+        # ---- initial weights: warm start or random (ref :86-108)
+        self.init_params: QNetParams
+        epsilon0 = 1.0
+        episodes0 = 0
+        if cfg.init_model_path:
+            payload_params = load_params_any(self.workdir / cfg.init_model_path)
+            self.init_params = payload_params
+            from pingpong_tpu.checkpoint.store import load_checkpoint
+
+            payload = load_checkpoint(self.workdir / cfg.init_model_path)
+            epsilon0 = float(payload.get("epsilon", cfg.min_epsilon))
+            episodes0 = int(payload.get("episode", 0))
+        else:
+            self.key, k = jax.random.split(self.key)
+            self.init_params = qnet_init(k)
+
+        self.params_a = self.init_params
+        self.key, k_state = jax.random.split(self.key)
+        self.state = self.learner.init_state(
+            k_state, self.init_params, epsilon=epsilon0, episodes=episodes0
+        )
+
+        # ---- opponent pool, loaded once (ref :199-207; faults included)
+        self.pool: List[QNetParams] = load_pool(
+            self.ckpt_dir, kind="qnet", limit=cfg.pool_max
+        )
+
+        # ---- eval runner (greedy QNet vs QNet)
+        from pingpong_tpu.env.pong import env_params_from_config
+
+        self.env_params = env_params_from_config(env_cfg)
+        self.match_fn = make_match_fn(
+            self.env_params, PolicySpec(QNET, None), PolicySpec(QNET, None)
+        )
+
+        self.win_a_window = WinRateWindow(cfg.selfplay.win_rate_interval)
+        self.win_pool_window = WinRateWindow(cfg.selfplay.win_rate_interval)
+        self.records: List[GenerationRecord] = []
+        self.reward_history: List[float] = []
+
+    # -- helpers -----------------------------------------------------------
+    def _opp_stack(self):
+        return stack_opponents(self.params_a, self.pool, self.cfg.pool_max)
+
+    def _eval_vs(self, params_a_list: List[QNetParams], n_games: int) -> float:
+        """B (current learner) vs a uniform-per-game set of opponents."""
+        if not params_a_list:
+            return 1.0
+        stack_a = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params_a_list
+        )
+        stack_b = jax.tree_util.tree_map(
+            lambda x: x[None], self.state.params_b
+        )
+        self.key, k_idx, k_games = jax.random.split(self.key, 3)
+        idx_a = jax.random.randint(
+            k_idx, (n_games,), 0, len(params_a_list)
+        ).astype(jnp.int32)
+        idx_b = jnp.zeros((n_games,), jnp.int32)
+        keys = jax.random.split(k_games, n_games)
+        result = self.match_fn(stack_a, stack_b, idx_a, idx_b, keys)
+        return float(jnp.mean(result.win_b.astype(jnp.float32)))
+
+    def _save(self, name: str, generation: int) -> str:
+        payload = {
+            "params_b": qnet_to_dict(jax.device_get(self.state.params_b)),
+            "params_a": qnet_to_dict(jax.device_get(self.params_a)),
+            "epsilon": float(self.state.epsilon),
+            "episode": int(self.state.episodes),
+            "generation": generation,
+            "train_steps": int(self.state.train_steps),
+            "model_kind": "qnet",
+        }
+        path = save_checkpoint(self.ckpt_dir / name, payload)
+        return str(path)
+
+    # -- main loop ---------------------------------------------------------
+    def _train_block(self, episodes_target: int) -> None:
+        """Run jitted iterations until ``episodes_target`` more episodes
+        complete (the reference's inner episode loop, :233-261)."""
+        sp = self.cfg.selfplay
+        start_eps = int(self.state.episodes)
+        goal = start_eps + episodes_target
+        watch = Stopwatch()
+        opp, pool_size = self._opp_stack()
+        pool_size = jnp.int32(pool_size)
+        env_steps = 0
+        last_log_eps = start_eps
+        while int(self.state.episodes) < goal:
+            self.state, m = self.learner.train_iteration(self.state, opp, pool_size)
+            env_steps += int(m.env_steps)
+            self.win_a_window.add(int(m.games_vs_a), int(m.wins_vs_a))
+            self.win_pool_window.add(int(m.games_vs_pool), int(m.wins_vs_pool))
+            eps_now = int(self.state.episodes)
+            if eps_now - last_log_eps >= sp.win_rate_interval:
+                dt = watch.lap()
+                steps_per_s = env_steps / max(dt, 1e-9)
+                env_steps = 0
+                last_log_eps = eps_now
+                self.logger.log(
+                    {
+                        "event": "interval",
+                        "episode": eps_now,
+                        "win_vs_A": self.win_a_window.rate(),
+                        "win_vs_pool": self.win_pool_window.rate(),
+                        "epsilon": float(m.epsilon),
+                        "loss": float(m.mean_loss),
+                        "env_steps_per_s": steps_per_s,
+                        "buffer": int(m.buffer_size),
+                    }
+                )
+
+    def run(self) -> List[GenerationRecord]:
+        sp = self.cfg.selfplay
+        done_generations = 0
+        current_generation = 0
+        while done_generations < sp.max_generations:
+            current_generation += 1
+            tries = 0
+            while True:
+                tries += 1
+                self.logger.log(
+                    {"event": "try", "generation": current_generation, "try": tries}
+                )
+                self._train_block(sp.episodes_per_generation)
+
+                w_a = self._eval_vs([self.params_a], sp.eval_episodes)
+                w_pool = self._eval_vs(self.pool, sp.eval_episodes)
+                self.logger.log(
+                    {
+                        "event": "eval",
+                        "generation": current_generation,
+                        "win_vs_A": w_a,
+                        "win_vs_pool": w_pool,
+                        "epsilon": float(self.state.epsilon),
+                    }
+                )
+
+                if w_a >= sp.curr_win_threshold and w_pool >= sp.pool_win_threshold:
+                    # promote: A <- B (ref :267-281)
+                    self.params_a = jax.tree_util.tree_map(
+                        jnp.copy, self.state.params_b
+                    )
+                    name = f"model{self.cfg.model_id}-{current_generation}"
+                    path = self._save(name, current_generation)
+                    self.records.append(
+                        GenerationRecord(
+                            current_generation, True, tries, w_a, w_pool,
+                            int(self.state.episodes), path,
+                        )
+                    )
+                    self.logger.log(
+                        {"event": "promoted", "generation": current_generation,
+                         "checkpoint": path}
+                    )
+                    done_generations += 1
+                    break
+                if tries >= sp.max_retries_for_generation:
+                    name = f"model{self.cfg.model_id}-{current_generation}_fault"
+                    path = self._save(name, current_generation)
+                    self.records.append(
+                        GenerationRecord(
+                            current_generation, False, tries, w_a, w_pool,
+                            int(self.state.episodes), path,
+                        )
+                    )
+                    self.logger.log(
+                        {"event": "fault", "generation": current_generation,
+                         "checkpoint": path}
+                    )
+                    # reset B to original weights, fresh everything (ref :213-224)
+                    self.state = self.learner.reset_learner(
+                        self.state, self.init_params
+                    )
+                    done_generations += 1
+                    break
+        return self.records

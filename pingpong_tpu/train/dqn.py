@@ -1,0 +1,439 @@
+"""On-device DQN actor-learner: rollout + PER + Double-DQN in one XLA program.
+
+TPU-native replacement for the reference's per-env-step host loop
+(``/root/reference/scripts/train_iterative.py:210-297``). One call to
+``train_iteration`` runs, entirely under ``jit``:
+
+1. a ``lax.scan`` over ``rollout_length`` lockstep steps of ``num_envs``
+   vectorized envs — frozen opponent A / pool member acting on player A's
+   mirrored obs, the NoisyNet + epsilon-greedy learner B acting on player
+   B's obs (fresh factorized noise every step, the analog of the
+   reference's per-step ``reset_noise()``, train_iterative.py:124-130),
+   masked auto-reset, per-episode epsilon decay and win/ episode
+   accounting (train_iterative.py:247-261);
+2. a batched PER push of the whole rollout chunk;
+3. ``updates_per_iteration`` Double-DQN SGD steps — PER sample with
+   annealed beta, IS-weighted MSE, Adam on the noisy dueling heads only
+   (features frozen as in train_iterative.py:96-104), TD-priority
+   write-back, periodic hard target sync (train_iterative.py:132-168).
+
+Fidelity knob: the reference performs exactly 1 SGD step per (single-env)
+env step; here the replay ratio is
+``updates_per_iteration / (rollout_length * num_envs)`` and is configurable
+(SURVEY.md §7 "hard parts" #4).
+
+Opponent selection: each env is bound to one opponent for a whole episode
+— frozen A with prob ``1 - opponent_pool_ratio`` else a uniformly drawn
+pool member (train_iterative.py:235-236) — and re-bound on auto-reset. The
+pool is a stacked parameter pytree of static capacity ``1 + pool_max``
+(slot 0 = A); all members' Q-values are computed batched and the per-env
+action is gathered by pool index, which keeps everything MXU-batched
+instead of gathering per-env parameters.
+
+Frozen opponents and the target network act in eval mode (mu weights).
+(The reference leaves modelA in train mode so it plays with whatever noise
+buffers its checkpoint carried — a stale-noise quirk we deliberately do
+not copy; mu-greedy is the NoisyNet-standard frozen policy.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pingpong_tpu.config.schema import DQNConfig, EnvConfig
+from pingpong_tpu.env.pong import (
+    EnvParams,
+    EnvState,
+    env_params_from_config,
+    observe_a,
+    observe_b,
+    reset,
+    step_autoreset,
+)
+from pingpong_tpu.models.qnet import (
+    QNetParams,
+    qnet_apply,
+    qnet_init,
+    qnet_sample_noise,
+)
+from pingpong_tpu.models.policy import qnet_act_train
+from pingpong_tpu.replay.per import (
+    PERBuffer,
+    Transition,
+    beta_schedule,
+    per_init,
+    per_push,
+    per_sample,
+    per_update_priorities,
+)
+
+Array = jax.Array
+
+
+class DQNTrainState(NamedTuple):
+    key: Array
+    params_b: QNetParams
+    target_b: QNetParams
+    opt_state: optax.OptState
+    buffer: PERBuffer
+    env_state: EnvState          # batched (num_envs,)
+    opp_idx: Array               # (num_envs,) i32; 0 = frozen A, k>0 = pool[k-1]
+    ep_return: Array             # (num_envs,) f32 running episode return of B
+    epsilon: Array               # f32 scalar
+    train_steps: Array           # i32
+    frame_idx: Array             # i32, beta-anneal clock (ref frame_idx)
+    episodes: Array              # i32 completed episodes (ref global_episode_count)
+
+
+class DQNMetrics(NamedTuple):
+    episodes: Array
+    games_vs_a: Array
+    wins_vs_a: Array
+    games_vs_pool: Array
+    wins_vs_pool: Array
+    mean_loss: Array
+    updates_run: Array
+    epsilon: Array
+    train_steps: Array
+    buffer_size: Array
+    env_steps: Array
+
+
+def trainable_mask(params: QNetParams, heads_only: bool) -> QNetParams:
+    """Per-leaf bool mask: reference trains only fc_V/fc_A
+    (train_iterative.py:96-104)."""
+
+    def fill(tree, value):
+        return jax.tree_util.tree_map(lambda _: value, tree)
+
+    return QNetParams(
+        feat1=fill(params.feat1, not heads_only),
+        feat2=fill(params.feat2, not heads_only),
+        fc_v=fill(params.fc_v, True),
+        fc_a=fill(params.fc_a, True),
+    )
+
+
+def stack_opponents(
+    params_a: QNetParams,
+    pool: Sequence[QNetParams],
+    pool_max: int,
+) -> Tuple[QNetParams, int]:
+    """Stack [A, pool..., padding(A)] along a new leading axis of static
+    size 1 + pool_max. Returns (stacked, pool_size)."""
+    if len(pool) > pool_max:
+        raise ValueError(f"pool of {len(pool)} exceeds pool_max={pool_max}")
+    members = [params_a] + list(pool) + [params_a] * (pool_max - len(pool))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+    return stacked, len(pool)
+
+
+class DQNLearner:
+    """Factory binding (EnvConfig, DQNConfig) into jitted train/init fns.
+
+    When ``mesh`` is given, the batched leaves of the train state (env
+    batch, per-env opponent bindings, episode returns) and the replay
+    buffer shard along the mesh's ``data`` axis; parameters, optimizer and
+    counters replicate. The same jitted ``train_iteration`` then runs SPMD
+    — XLA inserts the gradient/metric ``psum``s over ICI.
+    """
+
+    def __init__(self, env_cfg: EnvConfig, cfg: DQNConfig, mesh=None,
+                 data_axis: str = "data"):
+        if cfg.rollout_length * cfg.num_envs > cfg.memory_size:
+            raise ValueError(
+                "one rollout chunk may not exceed replay capacity: "
+                f"{cfg.rollout_length}*{cfg.num_envs} > {cfg.memory_size}"
+            )
+        self.env_cfg = env_cfg
+        self.cfg = cfg
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.env_params: EnvParams = env_params_from_config(env_cfg)
+        self._tx: Optional[optax.GradientTransformation] = None
+        self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
+
+    def shard_state(self, state: "DQNTrainState") -> "DQNTrainState":
+        """Place a train state onto the mesh: batch/replay on ``data``,
+        everything else replicated."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batched = NamedSharding(self.mesh, P(self.data_axis))
+        repl = NamedSharding(self.mesh, P())
+
+        def put_batched(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, batched), tree
+            )
+
+        def put_repl(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), tree
+            )
+
+        return DQNTrainState(
+            key=jax.device_put(state.key, repl),
+            params_b=put_repl(state.params_b),
+            target_b=put_repl(state.target_b),
+            opt_state=put_repl(state.opt_state),
+            buffer=PERBuffer(
+                obs=jax.device_put(state.buffer.obs, batched),
+                action=jax.device_put(state.buffer.action, batched),
+                reward=jax.device_put(state.buffer.reward, batched),
+                next_obs=jax.device_put(state.buffer.next_obs, batched),
+                done=jax.device_put(state.buffer.done, batched),
+                prios=jax.device_put(state.buffer.prios, batched),
+                pos=jax.device_put(state.buffer.pos, repl),
+                size=jax.device_put(state.buffer.size, repl),
+            ),
+            env_state=put_batched(state.env_state),
+            opp_idx=jax.device_put(state.opp_idx, batched),
+            ep_return=jax.device_put(state.ep_return, batched),
+            epsilon=jax.device_put(state.epsilon, repl),
+            train_steps=jax.device_put(state.train_steps, repl),
+            frame_idx=jax.device_put(state.frame_idx, repl),
+            episodes=jax.device_put(state.episodes, repl),
+        )
+
+    # -- optimizer ---------------------------------------------------------
+    def tx(self, params: QNetParams) -> optax.GradientTransformation:
+        if self._tx is None:
+            mask = trainable_mask(params, self.cfg.train_heads_only)
+            labels = jax.tree_util.tree_map(
+                lambda m: "train" if m else "freeze", mask
+            )
+            # NB: optax.masked would pass raw gradients through on frozen
+            # leaves; multi_transform + set_to_zero actually freezes them.
+            self._tx = optax.multi_transform(
+                {"train": optax.adam(self.cfg.lr), "freeze": optax.set_to_zero()},
+                labels,
+            )
+        return self._tx
+
+    # -- state init --------------------------------------------------------
+    def init_state(
+        self,
+        key: Array,
+        params_b: Optional[QNetParams] = None,
+        epsilon: float = 1.0,
+        episodes: int = 0,
+    ) -> DQNTrainState:
+        k_model, k_env, k_loop = jax.random.split(key, 3)
+        if params_b is None:
+            params_b = qnet_init(k_model)
+        else:
+            # the state is donated on every train_iteration; never absorb
+            # caller-owned buffers or they die with the first donation
+            params_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        env_keys = jax.random.split(k_env, self.cfg.num_envs)
+        env_state = jax.vmap(reset, in_axes=(None, 0))(self.env_params, env_keys)
+        # target must be a distinct buffer: the train state is donated to the
+        # jitted iteration and XLA rejects donating one buffer twice.
+        target_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        return DQNTrainState(
+            key=k_loop,
+            params_b=params_b,
+            target_b=target_b,
+            opt_state=self.tx(params_b).init(params_b),
+            buffer=per_init(self.cfg.memory_size),
+            env_state=env_state,
+            opp_idx=jnp.zeros((self.cfg.num_envs,), jnp.int32),
+            ep_return=jnp.zeros((self.cfg.num_envs,), jnp.float32),
+            epsilon=jnp.float32(epsilon),
+            train_steps=jnp.int32(0),
+            frame_idx=jnp.int32(0),
+            episodes=jnp.int32(episodes),
+        )
+
+    def reset_learner(self, state: DQNTrainState, params_b: QNetParams) -> DQNTrainState:
+        """The reference's ``reset_B()`` (train_iterative.py:213-224): fresh
+        learner weights, fresh optimizer/target/buffer, epsilon back to 1."""
+        params_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        return state._replace(
+            params_b=params_b,
+            target_b=jax.tree_util.tree_map(jnp.copy, params_b),
+            opt_state=self.tx(params_b).init(params_b),
+            buffer=per_init(self.cfg.memory_size),
+            epsilon=jnp.float32(1.0),
+            train_steps=jnp.int32(0),
+            frame_idx=jnp.int32(0),
+        )
+
+    # -- rollout -----------------------------------------------------------
+    def _rollout(self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array):
+        cfg = self.cfg
+        env_params = self.env_params
+
+        def step_fn(carry, _):
+            st: DQNTrainState = carry
+            key, k_act, k_step, k_pool_gate, k_pool_pick = jax.random.split(st.key, 5)
+
+            obs_a = observe_a(st.env_state)
+            obs_b = observe_b(st.env_state)
+
+            # frozen opponents: batched Q for every pool slot, gather by idx
+            q_all = jax.vmap(lambda p: qnet_apply(p, obs_a))(opp_stack)
+            act_all = jnp.argmax(q_all, axis=-1).astype(jnp.int32)  # (K+1, B)
+            act_a = jnp.take_along_axis(act_all, st.opp_idx[None, :], axis=0)[0]
+
+            act_b = qnet_act_train(k_act, st.params_b, obs_b, st.epsilon)
+
+            step_keys = jax.random.split(k_step, cfg.num_envs)
+            next_env, out = jax.vmap(
+                step_autoreset, in_axes=(None, 0, 0, 0, 0, None)
+            )(env_params, st.env_state, step_keys, act_a, act_b,
+              self.env_cfg.max_episode_steps)
+
+            trans = Transition(
+                obs=obs_b,
+                action=act_b,
+                reward=out.reward_b,
+                next_obs=out.obs_b,
+                done=out.done,
+            )
+
+            # episode accounting (ref train_iterative.py:247-261)
+            ep_ret = st.ep_return + out.reward_b
+            done = out.done
+            win = (ep_ret > 0.0) & done
+            vs_pool = st.opp_idx > 0
+            stats = jnp.stack([
+                jnp.sum((done & ~vs_pool).astype(jnp.int32)),
+                jnp.sum((win & ~vs_pool).astype(jnp.int32)),
+                jnp.sum((done & vs_pool).astype(jnp.int32)),
+                jnp.sum((win & vs_pool).astype(jnp.int32)),
+            ])
+
+            n_done = jnp.sum(done.astype(jnp.int32))
+            epsilon = jnp.maximum(
+                jnp.float32(cfg.min_epsilon),
+                st.epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
+            )
+
+            # re-bind opponent for envs that just reset (ref :235-236)
+            use_pool = (
+                jax.random.uniform(k_pool_gate, (cfg.num_envs,))
+                < cfg.selfplay.opponent_pool_ratio
+            ) & (pool_size > 0)
+            pick = jax.random.randint(
+                k_pool_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
+            ).astype(jnp.int32)
+            new_opp = jnp.where(use_pool, pick + 1, 0)
+            opp_idx = jnp.where(done, new_opp, st.opp_idx)
+
+            new_st = st._replace(
+                key=key,
+                env_state=next_env,
+                opp_idx=opp_idx,
+                ep_return=jnp.where(done, 0.0, ep_ret),
+                epsilon=epsilon,
+                episodes=st.episodes + n_done,
+            )
+            return new_st, (trans, stats)
+
+        state, (traj, stats) = jax.lax.scan(
+            step_fn, state, None, length=cfg.rollout_length
+        )
+        # (T, B, ...) -> (T*B, ...): time-major flatten keeps temporal order
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), traj
+        )
+        state = state._replace(buffer=per_push(state.buffer, flat))
+        return state, jnp.sum(stats, axis=0)
+
+    # -- learner update ----------------------------------------------------
+    def _update(self, state: DQNTrainState):
+        cfg = self.cfg
+
+        def do_update(st: DQNTrainState):
+            key, k_sample, k_noise = jax.random.split(st.key, 3)
+            frame = st.frame_idx + 1
+            beta = beta_schedule(frame, cfg.per_beta_start, cfg.per_beta_frames)
+            sample = per_sample(
+                st.buffer, k_sample, cfg.batch_size, cfg.per_alpha, beta
+            )
+            noise = qnet_sample_noise(k_noise, st.params_b)
+            tr = sample.batch
+
+            def loss_fn(params):
+                q = qnet_apply(params, tr.obs, noise)
+                q_a = jnp.take_along_axis(q, tr.action[:, None], axis=-1)[:, 0]
+                # Double DQN: online-net argmax (no grad), eval-mode target
+                q_next_online = jax.lax.stop_gradient(
+                    qnet_apply(params, tr.next_obs, noise)
+                )
+                na = jnp.argmax(q_next_online, axis=-1)
+                q_next_target = qnet_apply(st.target_b, tr.next_obs)
+                nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
+                y = tr.reward + cfg.gamma * nq * (1.0 - tr.done.astype(jnp.float32))
+                td = q_a - jax.lax.stop_gradient(y)
+                loss = jnp.mean(sample.weights * td * td)
+                return loss, jnp.abs(td)
+
+            (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params_b
+            )
+            tx = self.tx(st.params_b)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params_b)
+            params_b = optax.apply_updates(st.params_b, updates)
+            buffer = per_update_priorities(
+                st.buffer, sample.indices, td_abs, cfg.per_eps
+            )
+            train_steps = st.train_steps + 1
+            sync = (train_steps % cfg.target_update_interval) == 0
+            target_b = jax.tree_util.tree_map(
+                lambda b, t: jnp.where(sync, b, t), params_b, st.target_b
+            )
+            return st._replace(
+                key=key,
+                params_b=params_b,
+                target_b=target_b,
+                opt_state=opt_state,
+                buffer=buffer,
+                train_steps=train_steps,
+                frame_idx=frame,
+            ), loss
+
+        def skip(st: DQNTrainState):
+            return st, jnp.float32(0.0)
+
+        def scan_fn(st, _):
+            ready = st.buffer.size >= cfg.batch_size
+            st, loss = jax.lax.cond(ready, do_update, skip, st)
+            return st, (loss, ready)
+
+        state, (losses, ran) = jax.lax.scan(
+            scan_fn, state, None, length=cfg.updates_per_iteration
+        )
+        n_ran = jnp.sum(ran.astype(jnp.int32))
+        mean_loss = jnp.sum(losses) / jnp.maximum(n_ran.astype(jnp.float32), 1.0)
+        return state, mean_loss, n_ran
+
+    # -- one full iteration ------------------------------------------------
+    def _train_iteration(
+        self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array
+    ) -> Tuple[DQNTrainState, DQNMetrics]:
+        ep_before = state.episodes
+        state, stats = self._rollout(state, opp_stack, pool_size)
+        state, mean_loss, n_ran = self._update(state)
+        metrics = DQNMetrics(
+            episodes=state.episodes - ep_before,
+            games_vs_a=stats[0],
+            wins_vs_a=stats[1],
+            games_vs_pool=stats[2],
+            wins_vs_pool=stats[3],
+            mean_loss=mean_loss,
+            updates_run=n_ran,
+            epsilon=state.epsilon,
+            train_steps=state.train_steps,
+            buffer_size=state.buffer.size,
+            env_steps=jnp.int32(self.cfg.rollout_length * self.cfg.num_envs),
+        )
+        return state, metrics

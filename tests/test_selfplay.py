@@ -1,0 +1,92 @@
+"""Self-play generation-loop integration tests (tiny scales)."""
+
+import jax
+import numpy as np
+
+from pingpong_tpu.config import DQNConfig, EnvConfig
+from pingpong_tpu.config.schema import SelfPlayConfig
+from pingpong_tpu.checkpoint.store import list_checkpoints, load_checkpoint
+from pingpong_tpu.selfplay.loop import QNetSelfPlay
+from pingpong_tpu.utils.metrics import MetricsLogger
+
+ENV = EnvConfig(max_episode_steps=200)
+
+
+def tiny_cfg(**sp_kw):
+    sp = dict(
+        max_generations=2,
+        episodes_per_generation=8,
+        eval_episodes=16,
+        max_retries_for_generation=2,
+        win_rate_interval=8,
+        opponent_pool_ratio=0.33,
+    )
+    sp.update(sp_kw)
+    return DQNConfig(
+        selfplay=SelfPlayConfig(**sp),
+        num_envs=8,
+        rollout_length=32,
+        updates_per_iteration=2,
+        batch_size=32,
+        memory_size=4096,
+        pool_max=4,
+        target_update_interval=16,
+    )
+
+
+def test_promotion_path(tmp_path):
+    # thresholds 0 -> every generation promotes on the first try
+    cfg = tiny_cfg(curr_win_threshold=0.0, pool_win_threshold=0.0)
+    driver = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                          logger=MetricsLogger(echo=False))
+    records = driver.run()
+    assert len(records) == 2
+    assert all(r.promoted for r in records)
+    assert all(r.tries == 1 for r in records)
+    names = [p.name for p in list_checkpoints(tmp_path / "checkpoints")]
+    assert names == ["model5-1", "model5-2"]
+    ck = load_checkpoint(tmp_path / "checkpoints" / "model5-1")
+    assert ck["generation"] == 1
+    assert ck["model_kind"] == "qnet"
+    assert 0 <= ck["epsilon"] <= 1
+
+
+def test_fault_path_resets_learner(tmp_path):
+    # impossible thresholds -> fault after max retries, learner reset
+    cfg = tiny_cfg(
+        max_generations=1,
+        curr_win_threshold=1.1,
+        pool_win_threshold=1.1,
+        max_retries_for_generation=2,
+    )
+    driver = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                          logger=MetricsLogger(echo=False))
+    records = driver.run()
+    assert len(records) == 1
+    assert not records[0].promoted
+    assert records[0].tries == 2
+    names = [p.name for p in list_checkpoints(tmp_path / "checkpoints")]
+    assert names == ["model5-1_fault"]
+    # reset semantics: fresh buffer + epsilon back to 1
+    assert float(driver.state.epsilon) == 1.0
+    assert int(driver.state.buffer.size) == 0
+
+
+def test_warm_start_from_checkpoint(tmp_path):
+    cfg = tiny_cfg(curr_win_threshold=0.0, pool_win_threshold=0.0,
+                   max_generations=1)
+    d1 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                      logger=MetricsLogger(echo=False))
+    d1.run()
+    episodes_after = int(d1.state.episodes)
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, init_model_path="checkpoints/model5-1")
+    d2 = QNetSelfPlay(ENV, cfg2, workdir=str(tmp_path), seed=1,
+                      logger=MetricsLogger(echo=False))
+    # warm start restores episode counter and epsilon (ref :106-108)
+    assert int(d2.state.episodes) == episodes_after
+    assert float(d2.state.epsilon) < 1.0
+    # pool picked up the promoted checkpoint (ref :199-207)
+    assert len(d2.pool) == 1

@@ -1,0 +1,137 @@
+"""DQN actor-learner integration tests (small shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pingpong_tpu.config import DQNConfig, EnvConfig
+from pingpong_tpu.config.schema import SelfPlayConfig
+from pingpong_tpu.models import qnet_init
+from pingpong_tpu.train.dqn import DQNLearner, stack_opponents
+
+ENV = EnvConfig(max_episode_steps=500)
+
+
+def small_cfg(**kw):
+    base = dict(
+        num_envs=16,
+        rollout_length=32,
+        updates_per_iteration=4,
+        batch_size=32,
+        memory_size=4096,
+        pool_max=2,
+        target_update_interval=8,
+    )
+    base.update(kw)
+    return DQNConfig(**base)
+
+
+def test_train_iteration_runs_and_counts():
+    cfg = small_cfg()
+    learner = DQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    opp, pool_size = stack_opponents(params_a, [], cfg.pool_max)
+    state, m = learner.train_iteration(state, opp, jnp.int32(pool_size))
+    assert int(m.env_steps) == 16 * 32
+    assert int(m.buffer_size) == 16 * 32
+    assert int(m.updates_run) == 4  # buffer filled by first push
+    assert int(m.train_steps) == 4
+    # epsilon decayed from 1.0 only if episodes finished
+    if int(m.episodes) > 0:
+        assert float(m.epsilon) < 1.0
+    # second iteration: params must change (loss nonzero, Adam applied).
+    # NB: the train state is donated, so snapshot to host first.
+    p_before = jax.tree_util.tree_map(np.asarray, state.params_b.fc_a)
+    state, m2 = learner.train_iteration(state, opp, jnp.int32(pool_size))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        p_before, state.params_b.fc_a,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_feature_layers_frozen():
+    cfg = small_cfg()
+    learner = DQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    opp, n = stack_opponents(params_a, [], cfg.pool_max)
+    feat_before = jax.tree_util.tree_map(np.asarray, state.params_b.feat1)
+    for _ in range(3):
+        state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    np.testing.assert_array_equal(feat_before.w, np.asarray(state.params_b.feat1.w))
+
+
+def test_pool_opponents_selected():
+    cfg = small_cfg()
+    # force pool usage
+    cfg = DQNConfig(
+        **{f: getattr(cfg, f) for f in (
+            "num_envs", "rollout_length", "updates_per_iteration", "batch_size",
+            "memory_size", "pool_max", "target_update_interval")},
+        selfplay=SelfPlayConfig(opponent_pool_ratio=1.0),
+    )
+    learner = DQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    pool = [qnet_init(jax.random.PRNGKey(2)), qnet_init(jax.random.PRNGKey(3))]
+    opp, n = stack_opponents(params_a, pool, cfg.pool_max)
+    total_pool_games = 0
+    for _ in range(6):
+        state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        total_pool_games += int(m.games_vs_pool)
+    # with ratio 1.0 every re-bound episode is vs pool
+    assert (np.asarray(state.opp_idx) > 0).any()
+    assert total_pool_games > 0
+
+
+def test_determinism_same_seed():
+    cfg = small_cfg()
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    opp, n = stack_opponents(params_a, [], cfg.pool_max)
+
+    def run():
+        learner = DQNLearner(ENV, cfg)
+        state = learner.init_state(jax.random.PRNGKey(42))
+        for _ in range(2):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        return state, m
+
+    s1, m1 = run()
+    s2, m2 = run()
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params_b), jax.tree_util.tree_leaves(s2.params_b)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(m1.episodes) == int(m2.episodes)
+    assert float(m1.mean_loss) == float(m2.mean_loss)
+
+
+def test_target_sync():
+    cfg = small_cfg(target_update_interval=4, updates_per_iteration=4)
+    learner = DQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    opp, n = stack_opponents(params_a, [], cfg.pool_max)
+    state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    # after exactly 4 updates with interval 4, target == online
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params_b),
+        jax.tree_util.tree_leaves(state.target_b),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reset_learner():
+    cfg = small_cfg()
+    learner = DQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    opp, n = stack_opponents(params_a, [], cfg.pool_max)
+    state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    fresh = qnet_init(jax.random.PRNGKey(9))
+    state = learner.reset_learner(state, fresh)
+    assert int(state.buffer.size) == 0
+    assert float(state.epsilon) == 1.0
+    assert int(state.train_steps) == 0
