@@ -95,6 +95,22 @@ def qnet_rnn_from_dict(d: dict) -> QNetRNNParams:
     )
 
 
+def opt_state_to_leaves(opt_state) -> list:
+    """Optimizer state -> flat list of arrays (structure is rebuilt at
+    restore time from a freshly initialized state of the same optimizer,
+    so the on-disk schema stays a plain array list)."""
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(opt_state)]
+
+
+def opt_state_from_leaves(template_opt_state, leaves: list):
+    import jax.numpy as jnp
+
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in leaves]
+    )
+
+
 def params_from_dict(d: dict):
     kind = d.get("kind", "qnet")
     if kind == "qnet":

@@ -162,10 +162,10 @@ class DRQNConfig:
     rollout_length: int = 128
     updates_per_iteration: int = 32
     pool_max: int = 16
-    # Device sequence buffer is fixed-shape: num_slots episode slots of
-    # max_slot_len steps each (reference stores ragged episodes in RAM).
-    buffer_slots: int = 8192
-    max_slot_len: int = 512
+    # Device sequence buffer is a fixed-shape per-env time ring of
+    # ring_len columns (reference stores ragged episodes in host RAM);
+    # capacity in transitions = num_envs * ring_len.
+    ring_len: int = 4096
 
 
 @dataclass

@@ -1,0 +1,166 @@
+"""Device-resident sequence replay for DRQN trace training.
+
+Re-design of the reference ``SequenceReplayBuffer``
+(``/root/reference/scripts/train_rnn_iterative.py:100-176``), which stores
+ragged whole-episode lists in host RAM and samples fixed ``trace_length``
+windows uniformly within episodes (episodes shorter than the trace are
+never admitted).
+
+TPU-native design — a **per-env time ring** instead of episode slots:
+
+* ``num_envs`` lockstep envs write one transition per step into a shared
+  column cursor of a ``(num_envs, ring_len)`` ring: constant, coalesced
+  bandwidth, no episode-flush scatters;
+* every entry is stamped with its env's monotonically increasing episode
+  id. A window ``[t0, t0+T)`` of row ``b`` is a valid trace iff the ids at
+  its two ends match (ids are monotone, so equal endpoints imply one
+  episode covers the window) and the window lies in the written region;
+* sampling draws (env, t0) uniformly and rejects invalid windows over a
+  few rounds; samples still invalid after that carry weight 0 (the loss
+  masks them). Once the ring has data, the invalid fraction is the small
+  episode-boundary band, ~(T-1)/mean_episode_length.
+
+Distribution note (documented deviation): the reference samples
+episode-uniform then offset-uniform, which over-weights windows from short
+episodes; this buffer samples (approximately) window-uniform. The
+admission rule (len >= trace_length) is preserved exactly — shorter
+episodes produce no valid window. Unlike the reference, an episode cut by
+the step cap is treated as a proper boundary; the reference leaves the
+partial trajectory in its staging list and silently concatenates it with
+the next episode (train_rnn_iterative.py:113-116 never fires without
+``done``), which we consider a bug, not behavior to port.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class SeqReplay(NamedTuple):
+    obs: Array        # (B, R, obs_dim) f32
+    action: Array     # (B, R) i32
+    reward: Array     # (B, R) f32
+    next_obs: Array   # (B, R, obs_dim) f32
+    done: Array       # (B, R) bool
+    ep_id: Array      # (B, R) i32, -1 = never written
+    cursor: Array     # i32 shared column cursor (total steps written)
+    ep_count: Array   # i32 completed episodes admitted (len >= trace)
+    cur_ep_id: Array  # (B,) i32 current episode id per env
+    cur_ep_len: Array # (B,) i32 running length of the in-flight episode
+
+
+class SeqSample(NamedTuple):
+    obs: Array        # (N, T, obs_dim)
+    action: Array     # (N, T)
+    reward: Array     # (N, T)
+    next_obs: Array   # (N, T, obs_dim)
+    done: Array       # (N, T)
+    valid: Array      # (N,) bool — invalid samples must be masked in loss
+
+
+def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7) -> SeqReplay:
+    return SeqReplay(
+        obs=jnp.zeros((num_envs, ring_len, obs_dim), jnp.float32),
+        action=jnp.zeros((num_envs, ring_len), jnp.int32),
+        reward=jnp.zeros((num_envs, ring_len), jnp.float32),
+        next_obs=jnp.zeros((num_envs, ring_len, obs_dim), jnp.float32),
+        done=jnp.zeros((num_envs, ring_len), jnp.bool_),
+        ep_id=jnp.full((num_envs, ring_len), -1, jnp.int32),
+        cursor=jnp.int32(0),
+        ep_count=jnp.int32(0),
+        cur_ep_id=jnp.zeros((num_envs,), jnp.int32),
+        cur_ep_len=jnp.zeros((num_envs,), jnp.int32),
+    )
+
+
+def seq_push_step(
+    buf: SeqReplay,
+    obs: Array,        # (B, obs_dim)
+    action: Array,     # (B,)
+    reward: Array,     # (B,)
+    next_obs: Array,   # (B, obs_dim)
+    done: Array,       # (B,) bool — episode boundary (incl. truncation)
+    trace_length: int,
+) -> SeqReplay:
+    """Write one lockstep step for every env at the shared cursor column."""
+    ring = buf.ep_id.shape[1]
+    col = buf.cursor % ring
+    new_len = buf.cur_ep_len + 1
+    admitted = done & (new_len >= trace_length)
+    return SeqReplay(
+        obs=buf.obs.at[:, col].set(obs),
+        action=buf.action.at[:, col].set(action),
+        reward=buf.reward.at[:, col].set(reward),
+        next_obs=buf.next_obs.at[:, col].set(next_obs),
+        done=buf.done.at[:, col].set(done),
+        ep_id=buf.ep_id.at[:, col].set(buf.cur_ep_id),
+        cursor=buf.cursor + 1,
+        ep_count=buf.ep_count + jnp.sum(admitted.astype(jnp.int32)),
+        cur_ep_id=buf.cur_ep_id + done.astype(jnp.int32),
+        cur_ep_len=jnp.where(done, 0, new_len),
+    )
+
+
+def _window_valid(buf: SeqReplay, env: Array, t0: Array, trace_length: int) -> Array:
+    """Endpoint-id equality + written-region check for (env, t0) windows."""
+    ring = buf.ep_id.shape[1]
+    id_lo = buf.ep_id[env, t0]
+    id_hi = buf.ep_id[env, t0 + trace_length - 1]
+    written = jnp.minimum(buf.cursor, ring)
+    in_range = (t0 + trace_length) <= written
+    # exclude the in-flight episode's tail: those entries are being actively
+    # overwritten next wrap; simpler correctness: windows entirely of one
+    # finished-or-current episode are fine (ref trains on stored full
+    # episodes only — the in-flight exclusion keeps parity with "complete
+    # episodes only")
+    current = buf.cur_ep_id[env]
+    not_inflight = id_hi != current
+    return (id_lo == id_hi) & (id_lo >= 0) & in_range & not_inflight
+
+
+def seq_sample(
+    buf: SeqReplay,
+    key: Array,
+    batch_size: int,
+    trace_length: int,
+    rejection_rounds: int = 4,
+) -> SeqSample:
+    """Draw ``batch_size`` trace windows; a few rejection rounds re-draw
+    invalid candidates, leftovers are flagged ``valid=False``."""
+    num_envs, ring = buf.ep_id.shape
+    t_max = ring - trace_length + 1
+
+    env = jnp.zeros((batch_size,), jnp.int32)
+    t0 = jnp.zeros((batch_size,), jnp.int32)
+    valid = jnp.zeros((batch_size,), jnp.bool_)
+    for r in range(rejection_rounds):
+        key, k_env, k_t = jax.random.split(key, 3)
+        cand_env = jax.random.randint(k_env, (batch_size,), 0, num_envs)
+        cand_t0 = jax.random.randint(k_t, (batch_size,), 0, t_max)
+        cand_ok = _window_valid(buf, cand_env, cand_t0, trace_length)
+        take = (~valid) & cand_ok
+        env = jnp.where(take, cand_env, env)
+        t0 = jnp.where(take, cand_t0, t0)
+        valid = valid | cand_ok
+
+    def gather(arr):
+        def one(b, t):
+            start = (b, t) + (0,) * (arr.ndim - 2)
+            sizes = (1, trace_length) + arr.shape[2:]
+            return jax.lax.dynamic_slice(arr, start, sizes)[0]
+
+        return jax.vmap(one)(env, t0)
+
+    return SeqSample(
+        obs=gather(buf.obs),
+        action=gather(buf.action),
+        reward=gather(buf.reward),
+        next_obs=gather(buf.next_obs),
+        done=gather(buf.done),
+        valid=valid,
+    )

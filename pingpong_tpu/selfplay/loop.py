@@ -141,9 +141,12 @@ class QNetSelfPlay:
         return float(jnp.mean(result.win_b.astype(jnp.float32)))
 
     def _save(self, name: str, generation: int) -> str:
+        from pingpong_tpu.checkpoint.serialize import opt_state_to_leaves
+
         payload = {
             "params_b": qnet_to_dict(jax.device_get(self.state.params_b)),
             "params_a": qnet_to_dict(jax.device_get(self.params_a)),
+            "opt_state": opt_state_to_leaves(self.state.opt_state),
             "epsilon": float(self.state.epsilon),
             "episode": int(self.state.episodes),
             "generation": generation,

@@ -1,0 +1,299 @@
+"""Iterative self-play with generation promotion for the DRQN (LSTM) agent.
+
+Host-side control flow mirroring
+``/root/reference/scripts/train_rnn_iterative.py:707-898``:
+
+* each new generation starts B from A's weights with a fresh optimizer /
+  target and per-generation epsilon reset (ref :714-722);
+* promotion gate: eval win rate vs A AND vs the whole pool clears the
+  thresholds; the pool eval splits ``eval_episodes`` evenly across pool
+  members and aggregates (ref :815-822);
+* on promotion the new generation is APPENDED to the runtime pool (unlike
+  the QNet trainer; ref :855-859); on exhausted retries a ``_fault``
+  checkpoint is written, B is reset (buffer kept), and the generation
+  counts as done (ref :876-898);
+* fault checkpoints are excluded when the pool is loaded from disk
+  (ref :610);
+* **3-tier restore** (ref :221-339): (1) the full-state autosave
+  ``latest_rnn_training_state`` resumes models, optimizer, epsilon and all
+  loop counters; (2) else ``init_model_path_rnn`` warm-starts the weights
+  (key chain params_a -> params_b); (3) else random init with B <- A;
+* full training state autosaves every
+  ``save_latest_checkpoint_interval_steps`` train steps (ref :518-521),
+  via the atomic checkpoint store (the reference's ``.error_backup``
+  fallback is superseded by atomic rename).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pingpong_tpu.checkpoint.serialize import (
+    opt_state_from_leaves,
+    opt_state_to_leaves,
+    params_from_dict,
+    qnet_rnn_to_dict,
+)
+from pingpong_tpu.checkpoint.store import is_checkpoint, load_checkpoint, save_checkpoint
+from pingpong_tpu.config.schema import DRQNConfig, EnvConfig
+from pingpong_tpu.env.pong import env_params_from_config
+from pingpong_tpu.evaluation.match import RNN, PolicySpec, make_match_fn
+from pingpong_tpu.models.qnet_rnn import QNetRNNParams
+from pingpong_tpu.selfplay.loop import GenerationRecord
+from pingpong_tpu.selfplay.pool import load_pool
+from pingpong_tpu.train.drqn import DRQNLearner, stack_rnn_opponents
+from pingpong_tpu.utils.metrics import MetricsLogger, Stopwatch, WinRateWindow
+
+
+class DRQNSelfPlay:
+    def __init__(
+        self,
+        env_cfg: EnvConfig,
+        cfg: DRQNConfig,
+        workdir: str = ".",
+        seed: int = 0,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.env_cfg = env_cfg
+        self.cfg = cfg
+        self.workdir = Path(workdir)
+        self.ckpt_dir = self.workdir / cfg.ckpt_dir_rnn
+        self.logger = logger or MetricsLogger()
+        self.learner = DRQNLearner(env_cfg, cfg)
+        self.key = jax.random.PRNGKey(seed)
+        self.env_params = env_params_from_config(env_cfg)
+        self.match_fn = make_match_fn(
+            self.env_params, PolicySpec(RNN, None), PolicySpec(RNN, None)
+        )
+        self.win_a_window = WinRateWindow(cfg.selfplay.win_rate_interval)
+        self.win_pool_window = WinRateWindow(cfg.selfplay.win_rate_interval)
+        self.records: List[GenerationRecord] = []
+
+        # runtime pool from disk, faults excluded (ref :610)
+        self.pool: List[QNetRNNParams] = load_pool(
+            self.ckpt_dir, kind="qnet_rnn", skip_fault=True, limit=cfg.pool_max
+        )
+
+        # ---- 3-tier restore -------------------------------------------------
+        self.done_generations = 0
+        self.current_generation = 0
+        self._since_autosave = 0
+        latest = self.ckpt_dir / cfg.latest_checkpoint_filename
+        restored = False
+        if is_checkpoint(latest):
+            try:
+                self._restore_full_state(latest)
+                restored = True
+                self.logger.log({"event": "restore", "tier": 1, "path": str(latest)})
+            except Exception as e:
+                self.logger.log({"event": "restore_failed", "tier": 1, "error": str(e)})
+        if not restored and cfg.init_model_path_rnn:
+            init_path = self.workdir / cfg.init_model_path_rnn
+            if is_checkpoint(init_path):
+                payload = load_checkpoint(init_path)
+                params = None
+                for k in ("params_a", "params_b", "params"):
+                    if payload.get(k) is not None:
+                        params = params_from_dict(payload[k])
+                        break
+                if params is not None:
+                    self.params_a = params
+                    self.key, k_state = jax.random.split(self.key)
+                    self.state = self.learner.init_state(k_state, params)
+                    self.init_params = params
+                    restored = True
+                    self.logger.log(
+                        {"event": "restore", "tier": 2, "path": str(init_path)}
+                    )
+        if not restored:
+            self.key, k_model, k_state = jax.random.split(self.key, 3)
+            params = self.learner.init_params(k_model)
+            self.params_a = params
+            self.init_params = params
+            self.state = self.learner.init_state(k_state, params)
+            self.logger.log({"event": "restore", "tier": 3})
+
+    # -- full-state autosave / restore (ref :630-667, :237-290) -------------
+    def _full_state_payload(self) -> dict:
+        return {
+            "params_b": qnet_rnn_to_dict(jax.device_get(self.state.params_b)),
+            "params_a": qnet_rnn_to_dict(jax.device_get(self.params_a)),
+            "target_b": qnet_rnn_to_dict(jax.device_get(self.state.target_b)),
+            "opt_state": opt_state_to_leaves(self.state.opt_state),
+            "epsilon": float(self.state.epsilon),
+            "episode": int(self.state.episodes),
+            "train_steps": int(self.state.train_steps),
+            "generation": self.current_generation,
+            "done_generations": self.done_generations,
+            "model_kind": "qnet_rnn",
+        }
+
+    def autosave(self) -> str:
+        path = save_checkpoint(
+            self.ckpt_dir / self.cfg.latest_checkpoint_filename,
+            self._full_state_payload(),
+        )
+        self.logger.log({"event": "autosave", "train_steps": int(self.state.train_steps)})
+        return str(path)
+
+    def _restore_full_state(self, path) -> None:
+        payload = load_checkpoint(path)
+        params_b = params_from_dict(payload["params_b"])
+        self.params_a = params_from_dict(payload["params_a"])
+        self.init_params = self.params_a
+        self.key, k_state = jax.random.split(self.key)
+        self.state = self.learner.init_state(
+            k_state,
+            params_b,
+            epsilon=payload["epsilon"],
+            episodes=payload["episode"],
+        )
+        self.state = self.state._replace(
+            target_b=params_from_dict(payload["target_b"]),
+            opt_state=opt_state_from_leaves(
+                self.state.opt_state, payload["opt_state"]
+            ),
+            train_steps=jnp.int32(payload["train_steps"]),
+        )
+        self.current_generation = int(payload.get("generation", 0))
+        self.done_generations = int(payload.get("done_generations", 0))
+
+    # -- eval ---------------------------------------------------------------
+    def _eval_vs(self, opponents: List[QNetRNNParams], n_games: int) -> float:
+        """B vs opponents. Pool eval splits games evenly across members and
+        aggregates (ref :815-822); single opponent gets all games."""
+        if not opponents:
+            return 1.0
+        stack_a = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *opponents)
+        stack_b = jax.tree_util.tree_map(lambda x: x[None], self.state.params_b)
+        per = max(1, n_games // len(opponents))
+        total = per * len(opponents)
+        idx_a = jnp.repeat(jnp.arange(len(opponents), dtype=jnp.int32), per)
+        idx_b = jnp.zeros((total,), jnp.int32)
+        self.key, k_games = jax.random.split(self.key)
+        keys = jax.random.split(k_games, total)
+        result = self.match_fn(stack_a, stack_b, idx_a, idx_b, keys)
+        return float(jnp.mean(result.win_b.astype(jnp.float32)))
+
+    def _save(self, name: str, generation: int) -> str:
+        payload = {
+            "params_b": qnet_rnn_to_dict(jax.device_get(self.state.params_b)),
+            "params_a": qnet_rnn_to_dict(jax.device_get(self.params_a)),
+            "epsilon": float(self.state.epsilon),
+            "episode": int(self.state.episodes),
+            "generation": generation,
+            "train_steps": int(self.state.train_steps),
+            "model_kind": "qnet_rnn",
+        }
+        return str(save_checkpoint(self.ckpt_dir / name, payload))
+
+    # -- training block ------------------------------------------------------
+    def _train_block(self, episodes_target: int) -> None:
+        sp = self.cfg.selfplay
+        goal = int(self.state.episodes) + episodes_target
+        watch = Stopwatch()
+        opp, pool_size = stack_rnn_opponents(
+            self.params_a, self.pool, self.cfg.pool_max
+        )
+        pool_size = jnp.int32(pool_size)
+        env_steps = 0
+        last_log_eps = int(self.state.episodes)
+        while int(self.state.episodes) < goal:
+            steps_before = int(self.state.train_steps)
+            self.state, m = self.learner.train_iteration(self.state, opp, pool_size)
+            env_steps += int(m.env_steps)
+            self.win_a_window.add(int(m.games_vs_a), int(m.wins_vs_a))
+            self.win_pool_window.add(int(m.games_vs_pool), int(m.wins_vs_pool))
+            # autosave cadence (ref :518-521)
+            self._since_autosave += int(self.state.train_steps) - steps_before
+            if (
+                self.cfg.save_latest_checkpoint_interval_steps > 0
+                and self._since_autosave
+                >= self.cfg.save_latest_checkpoint_interval_steps
+            ):
+                self._since_autosave = 0
+                self.autosave()
+            eps_now = int(self.state.episodes)
+            if eps_now - last_log_eps >= sp.win_rate_interval:
+                dt = watch.lap()
+                self.logger.log(
+                    {
+                        "event": "interval",
+                        "episode": eps_now,
+                        "win_vs_A": self.win_a_window.rate(),
+                        "win_vs_pool": self.win_pool_window.rate(),
+                        "epsilon": float(m.epsilon),
+                        "loss": float(m.mean_loss),
+                        "env_steps_per_s": env_steps / max(dt, 1e-9),
+                        "buffer_episodes": int(m.buffer_episodes),
+                    }
+                )
+                env_steps = 0
+                last_log_eps = eps_now
+
+    # -- main loop -----------------------------------------------------------
+    def run(self) -> List[GenerationRecord]:
+        sp = self.cfg.selfplay
+        while self.done_generations < sp.max_generations:
+            self.current_generation += 1
+            if self.current_generation > 1:
+                # B <- A with fresh optimizer/target/epsilon (ref :714-722)
+                self.state = self.learner.new_generation(self.state, self.params_a)
+            tries = 0
+            while True:
+                tries += 1
+                self.logger.log(
+                    {"event": "try", "generation": self.current_generation,
+                     "try": tries}
+                )
+                self._train_block(sp.episodes_per_generation)
+                w_a = self._eval_vs([self.params_a], sp.eval_episodes)
+                w_pool = self._eval_vs(self.pool, sp.eval_episodes)
+                self.logger.log(
+                    {"event": "eval", "generation": self.current_generation,
+                     "win_vs_A": w_a, "win_vs_pool": w_pool}
+                )
+                if w_a >= sp.curr_win_threshold and w_pool >= sp.pool_win_threshold:
+                    self.params_a = jax.tree_util.tree_map(
+                        jnp.copy, self.state.params_b
+                    )
+                    name = f"{self.cfg.model_id_prefix}{self.current_generation}"
+                    path = self._save(name, self.current_generation)
+                    # runtime pool append (ref :855-859)
+                    if len(self.pool) < self.cfg.pool_max:
+                        self.pool.append(self.params_a)
+                    self.records.append(GenerationRecord(
+                        self.current_generation, True, tries, w_a, w_pool,
+                        int(self.state.episodes), path,
+                    ))
+                    self.logger.log({"event": "promoted",
+                                     "generation": self.current_generation,
+                                     "checkpoint": path})
+                    self.done_generations += 1
+                    break
+                if tries >= sp.max_retries_for_generation:
+                    name = (
+                        f"{self.cfg.model_id_prefix}"
+                        f"{self.current_generation}_fault"
+                    )
+                    path = self._save(name, self.current_generation)
+                    self.records.append(GenerationRecord(
+                        self.current_generation, False, tries, w_a, w_pool,
+                        int(self.state.episodes), path,
+                    ))
+                    self.logger.log({"event": "fault",
+                                     "generation": self.current_generation,
+                                     "checkpoint": path})
+                    # fresh B (from A), buffer kept (ref :670-704)
+                    self.state = self.learner.reset_learner(
+                        self.state, self.params_a
+                    )
+                    self.done_generations += 1
+                    break
+        self.autosave()
+        return self.records

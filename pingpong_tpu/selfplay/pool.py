@@ -34,11 +34,21 @@ def load_pool(
     kind: str = "qnet",
     skip_fault: bool = False,
     limit: Optional[int] = None,
+    exclude_names: tuple = ("latest",),
 ) -> List:
-    """Load all compatible checkpoints in a directory as pool members."""
+    """Load all compatible checkpoints in a directory as pool members.
+
+    ``exclude_names``: substrings of checkpoint names to skip — by default
+    the ``latest*`` full-state autosaves, which hold the in-training
+    learner, not a frozen opponent. (The reference's RNN pool loader would
+    sweep ``latest_rnn_training_state.pth`` into the pool,
+    train_rnn_iterative.py:609-623 — a quirk we deliberately fix.)
+    """
     members = []
     for path in list_checkpoints(ckpt_dir):
         if skip_fault and "fault" in path.name:
+            continue
+        if any(x in path.name for x in exclude_names):
             continue
         try:
             params = load_params_any(path)

@@ -1,0 +1,414 @@
+"""On-device DRQN (recurrent DQN) actor-learner.
+
+TPU-native replacement for the reference RNN trainer's inner loops
+(``/root/reference/scripts/train_rnn_iterative.py:707-898``). One jitted
+``train_iteration`` runs:
+
+1. a ``lax.scan`` rollout over ``num_envs`` lockstep envs with explicit
+   LSTM hidden-state threading for learner B and every opponent pool slot
+   (the reference threads ``(h_B, c_B)`` per episode, :744-773). Hidden
+   states zero-reset on episode boundaries. Epsilon-greedy exploration
+   still advances the hidden state, as the reference's
+   ``select_action_for_model`` does (:371-389);
+2. lockstep writes into the per-env time-ring sequence buffer
+   (:mod:`pingpong_tpu.replay.sequence`);
+3. ``updates_per_iteration`` DRQN updates: sample ``(batch, trace)``
+   windows, zero initial hidden (burn-in optional — the reference
+   scaffolds it disabled, :431-448), Double-DQN on the last timestep,
+   Smooth-L1 loss, global-norm grad clip, Adam over ALL parameters (the
+   RNN trainer does not freeze features, :717), periodic hard target sync
+   (:529-531).
+
+Training is gated until the buffer holds
+``batch_size * min_episodes_for_training_start`` completed episodes
+(ref :776-777). Opponents are recurrent (the reference's runtime RNN pool;
+its QNet-pool path is commented out, :594-607): all pool slots advance
+their hidden on every env so the per-episode-bound member's stream is
+always consistent; non-bound streams are dead state that resets at the
+next episode boundary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pingpong_tpu.config.schema import DRQNConfig, EnvConfig
+from pingpong_tpu.env.pong import (
+    EnvParams,
+    EnvState,
+    env_params_from_config,
+    observe_a,
+    observe_b,
+    reset,
+    step_autoreset,
+)
+from pingpong_tpu.models.policy import epsilon_greedy
+from pingpong_tpu.models.qnet_rnn import (
+    Hidden,
+    QNetRNNParams,
+    init_hidden,
+    qnet_rnn_apply,
+    qnet_rnn_init,
+    qnet_rnn_sample_noise,
+    qnet_rnn_step,
+)
+from pingpong_tpu.replay.sequence import (
+    SeqReplay,
+    seq_init,
+    seq_push_step,
+    seq_sample,
+)
+
+Array = jax.Array
+
+
+class DRQNTrainState(NamedTuple):
+    key: Array
+    params_b: QNetRNNParams
+    target_b: QNetRNNParams
+    opt_state: optax.OptState
+    buffer: SeqReplay
+    env_state: EnvState        # (num_envs,)
+    hid_b: Hidden              # (L, num_envs, H)
+    hid_opp: Hidden            # (1+pool_max, L, num_envs, H)
+    opp_idx: Array             # (num_envs,) i32
+    ep_return: Array           # (num_envs,) f32
+    epsilon: Array
+    train_steps: Array
+    episodes: Array
+
+
+class DRQNMetrics(NamedTuple):
+    episodes: Array
+    games_vs_a: Array
+    wins_vs_a: Array
+    games_vs_pool: Array
+    wins_vs_pool: Array
+    mean_loss: Array
+    updates_run: Array
+    epsilon: Array
+    train_steps: Array
+    buffer_episodes: Array
+    env_steps: Array
+
+
+def stack_rnn_opponents(
+    params_a: QNetRNNParams,
+    pool: Sequence[QNetRNNParams],
+    pool_max: int,
+) -> Tuple[QNetRNNParams, int]:
+    if len(pool) > pool_max:
+        raise ValueError(f"pool of {len(pool)} exceeds pool_max={pool_max}")
+    members = [params_a] + list(pool) + [params_a] * (pool_max - len(pool))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+    return stacked, len(pool)
+
+
+class DRQNLearner:
+    def __init__(self, env_cfg: EnvConfig, cfg: DRQNConfig, mesh=None,
+                 data_axis: str = "data"):
+        self.env_cfg = env_cfg
+        self.cfg = cfg
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.env_params: EnvParams = env_params_from_config(env_cfg)
+        self._tx: Optional[optax.GradientTransformation] = None
+        self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
+
+    def init_params(self, key: Array) -> QNetRNNParams:
+        c = self.cfg
+        return qnet_rnn_init(
+            key,
+            feature_dim=c.feature_dim,
+            lstm_hidden_dim=c.lstm_hidden_dim,
+            lstm_layers=c.lstm_layers,
+            head_hidden_dim=c.head_hidden_dim,
+        )
+
+    def tx(self) -> optax.GradientTransformation:
+        if self._tx is None:
+            # ref: clip_grad_norm_(max_norm) then Adam over all params (:513-516)
+            self._tx = optax.chain(
+                optax.clip_by_global_norm(self.cfg.grad_clip_norm),
+                optax.adam(self.cfg.lr),
+            )
+        return self._tx
+
+    def _zero_hidden(self, batch: int) -> Hidden:
+        c = self.cfg
+        shape = (c.lstm_layers, batch, c.lstm_hidden_dim)
+        return Hidden(h=jnp.zeros(shape, jnp.float32), c=jnp.zeros(shape, jnp.float32))
+
+    def init_state(
+        self,
+        key: Array,
+        params_b: Optional[QNetRNNParams] = None,
+        epsilon: Optional[float] = None,
+        episodes: int = 0,
+    ) -> DRQNTrainState:
+        c = self.cfg
+        k_model, k_env, k_loop = jax.random.split(key, 3)
+        if params_b is None:
+            params_b = self.init_params(k_model)
+        else:
+            params_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        env_keys = jax.random.split(k_env, c.num_envs)
+        env_state = jax.vmap(reset, in_axes=(None, 0))(self.env_params, env_keys)
+        n_slots = 1 + c.pool_max
+        opp_hidden = Hidden(
+            h=jnp.zeros((n_slots, c.lstm_layers, c.num_envs, c.lstm_hidden_dim)),
+            c=jnp.zeros((n_slots, c.lstm_layers, c.num_envs, c.lstm_hidden_dim)),
+        )
+        if epsilon is None:
+            epsilon = c.initial_epsilon_per_generation
+        return DRQNTrainState(
+            key=k_loop,
+            params_b=params_b,
+            target_b=jax.tree_util.tree_map(jnp.copy, params_b),
+            opt_state=self.tx().init(params_b),
+            buffer=seq_init(c.num_envs, c.ring_len),
+            env_state=env_state,
+            hid_b=self._zero_hidden(c.num_envs),
+            hid_opp=opp_hidden,
+            opp_idx=jnp.zeros((c.num_envs,), jnp.int32),
+            ep_return=jnp.zeros((c.num_envs,), jnp.float32),
+            epsilon=jnp.float32(epsilon),
+            train_steps=jnp.int32(0),
+            episodes=jnp.int32(episodes),
+        )
+
+    def new_generation(self, state: DRQNTrainState, params_a: QNetRNNParams) -> DRQNTrainState:
+        """Generation rollover (ref :714-722): B <- A, fresh optimizer and
+        target, epsilon reset. The sequence buffer is KEPT (the reference's
+        buffer persists across generations and retries)."""
+        params_b = jax.tree_util.tree_map(jnp.copy, params_a)
+        return state._replace(
+            params_b=params_b,
+            target_b=jax.tree_util.tree_map(jnp.copy, params_b),
+            opt_state=self.tx().init(params_b),
+            epsilon=jnp.float32(self.cfg.initial_epsilon_per_generation),
+        )
+
+    def reset_learner(
+        self, state: DRQNTrainState, params_b: QNetRNNParams
+    ) -> DRQNTrainState:
+        """Failed-generation reset (ref reset_model_b_for_new_attempt,
+        :670-704): new B weights, fresh optimizer/target, epsilon 1.0,
+        buffer kept."""
+        params_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        return state._replace(
+            params_b=params_b,
+            target_b=jax.tree_util.tree_map(jnp.copy, params_b),
+            opt_state=self.tx().init(params_b),
+            epsilon=jnp.float32(1.0),
+        )
+
+    # -- rollout -----------------------------------------------------------
+    def _rollout(self, state: DRQNTrainState, opp_stack: QNetRNNParams,
+                 pool_size: Array):
+        cfg = self.cfg
+        env_params = self.env_params
+
+        def step_fn(carry, _):
+            st: DRQNTrainState = carry
+            key, k_noise, k_eps, k_step, k_gate, k_pick = jax.random.split(st.key, 6)
+
+            obs_a = observe_a(st.env_state)
+            obs_b = observe_b(st.env_state)
+
+            # opponents: every slot advances on all envs (greedy, mu weights)
+            def member_step(p, hid):
+                q, new_hid = qnet_rnn_step(p, obs_a, hid)
+                return q, new_hid
+
+            q_all, hid_opp_new = jax.vmap(member_step)(opp_stack, st.hid_opp)
+            act_all = jnp.argmax(q_all, axis=-1).astype(jnp.int32)  # (K+1, B)
+            act_a = jnp.take_along_axis(act_all, st.opp_idx[None, :], axis=0)[0]
+
+            # learner B: fresh noise each step + epsilon-greedy; hidden
+            # advances on explore steps too (ref :371-389)
+            noise = qnet_rnn_sample_noise(k_noise, st.params_b)
+            q_b, hid_b_new = qnet_rnn_step(st.params_b, obs_b, st.hid_b, noise)
+            act_b = epsilon_greedy(k_eps, q_b, st.epsilon, q_b.shape[-1])
+
+            step_keys = jax.random.split(k_step, cfg.num_envs)
+            next_env, out = jax.vmap(
+                step_autoreset, in_axes=(None, 0, 0, 0, 0, None)
+            )(env_params, st.env_state, step_keys, act_a, act_b,
+              cfg.max_episode_steps)
+
+            buffer = seq_push_step(
+                st.buffer, obs_b, act_b, out.reward_b, out.obs_b, out.done,
+                cfg.trace_length,
+            )
+
+            done = out.done
+            ep_ret = st.ep_return + out.reward_b
+            win = (ep_ret > 0.0) & done
+            vs_pool = st.opp_idx > 0
+            stats = jnp.stack([
+                jnp.sum((done & ~vs_pool).astype(jnp.int32)),
+                jnp.sum((win & ~vs_pool).astype(jnp.int32)),
+                jnp.sum((done & vs_pool).astype(jnp.int32)),
+                jnp.sum((win & vs_pool).astype(jnp.int32)),
+            ])
+            n_done = jnp.sum(done.astype(jnp.int32))
+            epsilon = jnp.maximum(
+                jnp.float32(cfg.min_epsilon),
+                st.epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
+            )
+
+            # zero hidden on episode boundary (new episode, fresh memory)
+            done_col = done[None, :, None]          # (1, B, 1) for (L, B, H)
+            hid_b_next = Hidden(
+                h=jnp.where(done_col, 0.0, hid_b_new.h),
+                c=jnp.where(done_col, 0.0, hid_b_new.c),
+            )
+            done_opp = done[None, None, :, None]    # (1, 1, B, 1) for (K,L,B,H)
+            hid_opp_next = Hidden(
+                h=jnp.where(done_opp, 0.0, hid_opp_new.h),
+                c=jnp.where(done_opp, 0.0, hid_opp_new.c),
+            )
+
+            # re-bind opponent for reset envs (ref :735-737)
+            use_pool = (
+                jax.random.uniform(k_gate, (cfg.num_envs,))
+                < cfg.selfplay.opponent_pool_ratio
+            ) & (pool_size > 0)
+            pick = jax.random.randint(
+                k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
+            ).astype(jnp.int32)
+            opp_idx = jnp.where(done, jnp.where(use_pool, pick + 1, 0), st.opp_idx)
+
+            new_st = st._replace(
+                key=key,
+                buffer=buffer,
+                env_state=next_env,
+                hid_b=hid_b_next,
+                hid_opp=hid_opp_next,
+                opp_idx=opp_idx,
+                ep_return=jnp.where(done, 0.0, ep_ret),
+                epsilon=epsilon,
+                episodes=st.episodes + n_done,
+            )
+            return new_st, stats
+
+        state, stats = jax.lax.scan(step_fn, state, None, length=cfg.rollout_length)
+        return state, jnp.sum(stats, axis=0)
+
+    # -- update ------------------------------------------------------------
+    def _update(self, state: DRQNTrainState):
+        cfg = self.cfg
+
+        def do_update(st: DRQNTrainState):
+            key, k_sample, k_noise = jax.random.split(st.key, 3)
+            sample = seq_sample(
+                st.buffer, k_sample, cfg.batch_size, cfg.trace_length
+            )
+            noise = qnet_rnn_sample_noise(k_noise, st.params_b)
+            zero_hid = self._zero_hidden(cfg.batch_size)
+            burn = cfg.burn_in_length
+            w = sample.valid.astype(jnp.float32)
+
+            def forward(params, seq, hid, nz):
+                q, _ = qnet_rnn_apply(params, seq, hid, nz)
+                return q
+
+            def loss_fn(params):
+                obs_seq = sample.obs
+                next_seq = sample.next_obs
+                h0 = zero_hid
+                h0_t = zero_hid
+                if burn > 0:
+                    # optional burn-in (the reference scaffolds this,
+                    # :431-448): warm the hidden on the first `burn` frames
+                    # without gradient, train on the remainder
+                    _, h0 = qnet_rnn_apply(
+                        jax.lax.stop_gradient(params),
+                        obs_seq[:, :burn], zero_hid, None,
+                    )
+                    h0 = jax.tree_util.tree_map(jax.lax.stop_gradient, h0)
+                    _, h0_t = qnet_rnn_apply(
+                        st.target_b, next_seq[:, :burn], zero_hid, None
+                    )
+                    obs_seq = obs_seq[:, burn:]
+                    next_seq = next_seq[:, burn:]
+
+                q_last = forward(params, obs_seq, h0, noise)
+                a_last = sample.action[:, -1]
+                q_a = jnp.take_along_axis(q_last, a_last[:, None], axis=-1)[:, 0]
+
+                q_next_online = jax.lax.stop_gradient(
+                    forward(params, next_seq, h0_t, noise)
+                )
+                na = jnp.argmax(q_next_online, axis=-1)
+                q_next_target = forward(st.target_b, next_seq, h0_t, None)
+                nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
+                r_last = sample.reward[:, -1]
+                d_last = sample.done[:, -1].astype(jnp.float32)
+                y = r_last + cfg.gamma * nq * (1.0 - d_last)
+                td = q_a - jax.lax.stop_gradient(y)
+                # Smooth-L1 (Huber, delta=1) as in ref :500 — masked mean
+                huber = jnp.where(
+                    jnp.abs(td) <= 1.0, 0.5 * td * td, jnp.abs(td) - 0.5
+                )
+                denom = jnp.maximum(jnp.sum(w), 1.0)
+                return jnp.sum(w * huber) / denom
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params_b)
+            updates, opt_state = self.tx().update(grads, st.opt_state, st.params_b)
+            params_b = optax.apply_updates(st.params_b, updates)
+            train_steps = st.train_steps + 1
+            sync = (train_steps % cfg.target_update_interval) == 0
+            target_b = jax.tree_util.tree_map(
+                lambda b, t: jnp.where(sync, b, t), params_b, st.target_b
+            )
+            return st._replace(
+                key=key,
+                params_b=params_b,
+                target_b=target_b,
+                opt_state=opt_state,
+                train_steps=train_steps,
+            ), loss
+
+        def skip(st):
+            return st, jnp.float32(0.0)
+
+        gate = cfg.batch_size * cfg.min_episodes_for_training_start
+
+        def scan_fn(st, _):
+            ready = st.buffer.ep_count > gate
+            st, loss = jax.lax.cond(ready, do_update, skip, st)
+            return st, (loss, ready)
+
+        state, (losses, ran) = jax.lax.scan(
+            scan_fn, state, None, length=cfg.updates_per_iteration
+        )
+        n_ran = jnp.sum(ran.astype(jnp.int32))
+        mean_loss = jnp.sum(losses) / jnp.maximum(n_ran.astype(jnp.float32), 1.0)
+        return state, mean_loss, n_ran
+
+    def _train_iteration(
+        self, state: DRQNTrainState, opp_stack: QNetRNNParams, pool_size: Array
+    ) -> Tuple[DRQNTrainState, DRQNMetrics]:
+        ep_before = state.episodes
+        state, stats = self._rollout(state, opp_stack, pool_size)
+        state, mean_loss, n_ran = self._update(state)
+        metrics = DRQNMetrics(
+            episodes=state.episodes - ep_before,
+            games_vs_a=stats[0],
+            wins_vs_a=stats[1],
+            games_vs_pool=stats[2],
+            wins_vs_pool=stats[3],
+            mean_loss=mean_loss,
+            updates_run=n_ran,
+            epsilon=state.epsilon,
+            train_steps=state.train_steps,
+            buffer_episodes=state.buffer.ep_count,
+            env_steps=jnp.int32(self.cfg.rollout_length * self.cfg.num_envs),
+        )
+        return state, metrics

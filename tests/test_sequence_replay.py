@@ -1,0 +1,107 @@
+"""Sequence replay (per-env time ring) tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pingpong_tpu.replay.sequence import (
+    seq_init,
+    seq_push_step,
+    seq_sample,
+)
+
+TRACE = 4
+
+
+def push_pattern(buf, episode_lens, num_envs=2):
+    """Drive the buffer: env 0 follows episode_lens, env 1 runs one long
+    episode. Obs encodes (env, step) for verification."""
+    t = 0
+    ep_marks = []
+    lens = list(episode_lens)
+    cur = 0
+    remaining = lens[cur] if lens else 10**9
+    while lens and cur < len(lens):
+        obs = jnp.asarray(
+            [[e + 1, t, 0, 0, 0, 0, 0] for e in range(num_envs)], jnp.float32
+        )
+        done0 = remaining == 1
+        done = jnp.asarray([done0] + [False] * (num_envs - 1))
+        buf = seq_push_step(
+            buf, obs, jnp.zeros((num_envs,), jnp.int32),
+            jnp.ones((num_envs,), jnp.float32), obs, done, TRACE,
+        )
+        t += 1
+        remaining -= 1
+        if done0:
+            ep_marks.append(t)
+            cur += 1
+            remaining = lens[cur] if cur < len(lens) else 0
+    return buf, t
+
+
+def test_admission_rule_counts_only_long_episodes():
+    buf = seq_init(2, 64)
+    # episodes of length 2 (too short), 6 (ok), 3 (too short), 4 (ok)
+    buf, _ = push_pattern(buf, [2, 6, 3, 4])
+    assert int(buf.ep_count) == 2
+
+
+def test_windows_never_cross_episodes():
+    buf = seq_init(2, 64)
+    buf, steps = push_pattern(buf, [5, 7, 6])
+    s = seq_sample(buf, jax.random.PRNGKey(0), 256, TRACE, rejection_rounds=8)
+    valid = np.asarray(s.valid)
+    # sparse ring (18/64 columns, 9 valid windows of 122 positions): the
+    # rejection sampler lands ~46% of draws; production rings are dense
+    assert valid.mean() > 0.2
+    obs = np.asarray(s.obs)           # (N, T, 7): [env+1, step,...]
+    done = np.asarray(s.done)
+    for i in np.nonzero(valid)[0]:
+        env_col = obs[i, :, 0]
+        steps_col = obs[i, :, 1]
+        assert (env_col == env_col[0]).all()
+        # consecutive steps
+        np.testing.assert_array_equal(np.diff(steps_col), 1)
+        # done only allowed at the last position
+        assert not done[i, :-1].any()
+        if env_col[0] == 1:  # env 0 had episode boundaries
+            # window must not span a boundary: check via ep id equality was
+            # enforced; consecutive steps + no interior done implies it
+            pass
+
+
+def test_inflight_episode_excluded():
+    buf = seq_init(1, 64)
+    # one long episode never finishing
+    for t in range(20):
+        obs = jnp.asarray([[1, t, 0, 0, 0, 0, 0]], jnp.float32)
+        buf = seq_push_step(
+            buf, obs, jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32),
+            obs, jnp.asarray([False]), TRACE,
+        )
+    s = seq_sample(buf, jax.random.PRNGKey(0), 64, TRACE, rejection_rounds=8)
+    assert not np.asarray(s.valid).any()
+
+
+def test_ring_wrap_invalidates_stale_windows():
+    ring = 16
+    buf = seq_init(1, ring)
+    # finish an episode of 10, then another of 12 which wraps
+    buf, _ = push_pattern(buf, [10, 12], num_envs=1)
+    s = seq_sample(buf, jax.random.PRNGKey(1), 512, TRACE, rejection_rounds=8)
+    valid = np.asarray(s.valid)
+    obs = np.asarray(s.obs)
+    # every valid window must come from intact (non-overwritten) data:
+    # consecutive steps of one env
+    for i in np.nonzero(valid)[0]:
+        np.testing.assert_array_equal(np.diff(obs[i, :, 1]), 1)
+
+
+def test_sample_determinism():
+    buf = seq_init(2, 64)
+    buf, _ = push_pattern(buf, [8, 8])
+    s1 = seq_sample(buf, jax.random.PRNGKey(3), 32, TRACE)
+    s2 = seq_sample(buf, jax.random.PRNGKey(3), 32, TRACE)
+    np.testing.assert_array_equal(np.asarray(s1.obs), np.asarray(s2.obs))
+    np.testing.assert_array_equal(np.asarray(s1.valid), np.asarray(s2.valid))

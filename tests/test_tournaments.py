@@ -1,0 +1,102 @@
+"""Round-robin + arena tournament tests (tiny scales)."""
+
+import json
+
+import jax
+import numpy as np
+
+from pingpong_tpu.checkpoint.serialize import qnet_rnn_to_dict, qnet_to_dict
+from pingpong_tpu.checkpoint.store import save_checkpoint
+from pingpong_tpu.config import ExperimentConfig, EnvConfig
+from pingpong_tpu.evaluation.arena import (
+    create_match_plan,
+    load_database,
+    run_arena,
+)
+from pingpong_tpu.evaluation.round_robin import run_round_robin
+from pingpong_tpu.models import qnet_init, qnet_rnn_init
+
+import dataclasses
+
+
+def make_ckpts(tmp_path):
+    d = tmp_path / "ckpts"
+    save_checkpoint(d / "model5-1", {"params_b": qnet_to_dict(
+        qnet_init(jax.random.PRNGKey(0)))})
+    save_checkpoint(d / "model5-2", {"params_b": qnet_to_dict(
+        qnet_init(jax.random.PRNGKey(1)))})
+    save_checkpoint(d / "rnn_1", {"params_b": qnet_rnn_to_dict(
+        qnet_rnn_init(jax.random.PRNGKey(2), feature_dim=32,
+                      lstm_hidden_dim=16, head_hidden_dim=0))})
+    return d
+
+
+def small_cfg():
+    return dataclasses.replace(
+        ExperimentConfig(), env=EnvConfig(max_episode_steps=200)
+    )
+
+
+def test_round_robin_outputs(tmp_path):
+    d = make_ckpts(tmp_path)
+    out = tmp_path / "results"
+    rc = run_round_robin(small_cfg(), d, out, episodes_per_match=4,
+                         include_bot=True, seed=0)
+    assert rc == 0
+    files = sorted(p.name for p in out.iterdir())
+    assert any(f.startswith("match_records_") for f in files)
+    assert any(f.startswith("summary_ranking_") for f in files)
+    assert any(f.startswith("win_rates_") for f in files)
+    assert any(f.startswith("h2h_heatmap_") for f in files)
+    import pandas as pd
+
+    rec = pd.read_csv(next(out.glob("match_records_*.csv")))
+    # 4 models (3 ckpts + bot) -> C(4,2)=6 pairs x 4 eps
+    assert len(rec) == 24
+    summary = pd.read_csv(next(out.glob("summary_ranking_*.csv")))
+    assert len(summary) == 4
+    assert (summary["games"] == 12).all()
+
+
+def test_arena_resumable(tmp_path):
+    d = make_ckpts(tmp_path)
+    db = tmp_path / "arena_database.json"
+    out = tmp_path / "results_arena"
+    cfg = small_cfg()
+    rc = run_arena(cfg, d, db, out, episodes_per_match=3,
+                   include_bot=False, seed=0)
+    assert rc == 0
+    data = load_database(db)
+    assert len(data["models"]) == 3
+    assert len(data["match_history"]) == 3 * 3  # C(3,2)=3 pairs x 3 eps
+    # resuming schedules nothing new
+    plan = create_match_plan(data, 3)
+    assert plan == []
+    # raising the target schedules only the remainder
+    plan = create_match_plan(data, 5)
+    assert all(p["episodes_to_run"] == 2 for p in plan)
+    # second run with higher target appends exactly the remainder
+    rc = run_arena(cfg, d, db, out, episodes_per_match=5,
+                   include_bot=False, seed=1)
+    assert rc == 0
+    data = load_database(db)
+    assert len(data["match_history"]) == 3 * 5
+    # records carry required keys (ref arena.py:311-318 schema)
+    rec = data["match_history"][0]
+    assert set(rec) == {"p1", "p2", "winner", "p1_score", "p2_score", "timestamp"}
+
+
+def test_arena_registers_new_models_incrementally(tmp_path):
+    d = make_ckpts(tmp_path)
+    db = tmp_path / "db.json"
+    out = tmp_path / "res"
+    cfg = small_cfg()
+    run_arena(cfg, d, db, out, episodes_per_match=2, include_bot=False, seed=0)
+    n_before = len(load_database(db)["match_history"])
+    # add a new model; only its pairings are scheduled
+    save_checkpoint(d / "model5-3", {"params_b": qnet_to_dict(
+        qnet_init(jax.random.PRNGKey(9)))})
+    run_arena(cfg, d, db, out, episodes_per_match=2, include_bot=False, seed=1)
+    data = load_database(db)
+    assert len(data["models"]) == 4
+    assert len(data["match_history"]) == n_before + 3 * 2  # 3 new pairings

@@ -1,0 +1,132 @@
+"""DRQN actor-learner + self-play loop tests (small shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pingpong_tpu.config import DRQNConfig, EnvConfig
+from pingpong_tpu.config.schema import SelfPlayConfig
+from pingpong_tpu.train.drqn import DRQNLearner, stack_rnn_opponents
+
+ENV = EnvConfig(max_episode_steps=100)
+
+
+def small_cfg(**kw):
+    base = dict(
+        feature_dim=32,
+        lstm_hidden_dim=16,
+        lstm_layers=1,
+        head_hidden_dim=16,
+        trace_length=4,
+        num_envs=8,
+        rollout_length=32,
+        updates_per_iteration=2,
+        batch_size=8,
+        min_episodes_for_training_start=1,
+        ring_len=256,
+        pool_max=2,
+        target_update_interval=8,
+        max_episode_steps=100,
+    )
+    base.update(kw)
+    sp = base.pop("selfplay", None)
+    if sp is not None:
+        return DRQNConfig(selfplay=sp, **base)
+    return DRQNConfig(**base)
+
+
+def test_drqn_iteration_runs_and_learns():
+    cfg = small_cfg()
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    n = jnp.int32(n)
+    # first iterations fill the buffer; gate = batch*min_start = 8 episodes
+    total_updates = 0
+    for _ in range(6):
+        state, m = learner.train_iteration(state, opp, n)
+        total_updates += int(m.updates_run)
+    assert int(m.buffer_episodes) > 8
+    assert total_updates > 0
+    assert np.isfinite(float(m.mean_loss))
+    assert int(state.train_steps) == total_updates
+
+
+def test_drqn_hidden_resets_on_done():
+    cfg = small_cfg()
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    # any env that is freshly reset (t==0 can't happen mid-rollout without
+    # done) — instead check: hidden norms are finite and not all zero
+    h = np.asarray(state.hid_b.h)
+    assert np.isfinite(h).all()
+    assert np.abs(h).sum() > 0
+
+
+def test_drqn_rnn_pool_opponents():
+    cfg = small_cfg(selfplay=SelfPlayConfig(opponent_pool_ratio=1.0))
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    pool = [learner.init_params(jax.random.PRNGKey(2))]
+    opp, n = stack_rnn_opponents(params_a, pool, cfg.pool_max)
+    games_pool = 0
+    for _ in range(4):
+        state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        games_pool += int(m.games_vs_pool)
+    assert games_pool > 0
+
+
+def test_drqn_determinism():
+    cfg = small_cfg()
+    params_a_seed = jax.random.PRNGKey(1)
+
+    def run():
+        learner = DRQNLearner(ENV, cfg)
+        state = learner.init_state(jax.random.PRNGKey(7))
+        params_a = learner.init_params(params_a_seed)
+        opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+        for _ in range(3):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        return jax.device_get(state.params_b), int(m.episodes)
+
+    p1, e1 = run()
+    p2, e2 = run()
+    assert e1 == e2
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_drqn_burn_in():
+    cfg = small_cfg(burn_in_length=2, trace_length=6)
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    for _ in range(6):
+        state, m = learner.train_iteration(state, opp, jnp.int32(n))
+    assert np.isfinite(float(m.mean_loss))
+    assert int(m.updates_run) > 0
+
+
+def test_generation_rollover_and_reset():
+    cfg = small_cfg()
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    buf_count = int(state.buffer.ep_count)
+    state = learner.new_generation(state, params_a)
+    # B == A now; buffer kept; epsilon reset
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params_b),
+        jax.tree_util.tree_leaves(params_a),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.buffer.ep_count) == buf_count
+    assert float(state.epsilon) == cfg.initial_epsilon_per_generation
