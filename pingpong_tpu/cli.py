@@ -124,6 +124,24 @@ def cmd_view(args) -> int:
     )
 
 
+def cmd_import_torch(args) -> int:
+    import os
+
+    from pingpong_tpu.tools.import_torch import (
+        import_torch_checkpoint,
+        import_torch_dir,
+    )
+
+    if os.path.isdir(args.src):
+        results = import_torch_dir(args.src, args.dst)
+        ok = sum(1 for v in results.values() if v)
+        print(f"imported {ok}/{len(results)} checkpoints into {args.dst}")
+        return 0 if ok else 1
+    out = import_torch_checkpoint(args.src, args.dst)
+    print(f"imported {args.src} -> {out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -167,6 +185,14 @@ def main(argv=None) -> int:
     p.add_argument("--episodes", type=int, default=1)
     p.add_argument("--interactive", action="store_true", help="pygame window")
     p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser(
+        "import-torch",
+        help="convert reference .pth checkpoints to the native format",
+    )
+    p.add_argument("src", help=".pth file or a directory of .pth files")
+    p.add_argument("dst", help="output checkpoint dir (or parent dir for batches)")
+    p.set_defaults(fn=cmd_import_torch)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)
