@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from pingpong_tpu.config import DQNConfig, EnvConfig
-from pingpong_tpu.env.pong import env_params_from_config, observe, reset, step_autoreset
+from pingpong_tpu.env.pong import (
+    env_params_from_config,
+    observe,
+    reset,
+    step_autoreset_batch,
+)
 from pingpong_tpu.models.policy import ball_follower_action
 
 BATCH = 32768
@@ -34,10 +39,7 @@ def make_rollout(env_params, batch, chunk):
         obs_a, obs_b = observe(state)
         act_a = ball_follower_action(obs_a)
         act_b = ball_follower_action(obs_b)
-        step_keys = jax.random.split(k_step, batch)
-        state, out = jax.vmap(step_autoreset, in_axes=(None, 0, 0, 0, 0))(
-            env_params, state, step_keys, act_a, act_b
-        )
+        state, out = step_autoreset_batch(env_params, state, k_step, act_a, act_b)
         return (state, key), out.reward_b.sum()
 
     @jax.jit
@@ -103,8 +105,45 @@ def bench_train_iteration():
     return cfg.num_envs * cfg.rollout_length * iters / dt
 
 
+def bench_pallas_rollout():
+    """Fused Pallas rollout kernel (state resident in VMEM)."""
+    from pingpong_tpu.ops.pong_kernel import pallas_rollout
+
+    env_params = env_params_from_config(EnvConfig(
+        paddle_speed=0.03, magnus_factor=0.025, restitution=1.0, friction=0.6,
+        ball_speed_range=(0.03, 0.05), spin_range=(-5, 5),
+        speed_scale_every=1, speed_increment=0.1,
+    ))
+    key = jax.random.PRNGKey(0)
+    env_keys = jax.random.split(key, BATCH)
+    state = jax.vmap(reset, in_axes=(None, 0))(env_params, env_keys)
+
+    run = jax.jit(
+        lambda s, seed: pallas_rollout(env_params, s, CHUNK, seed),
+        static_argnums=(),
+    )
+    state2, _ = run(state, 0)
+    jax.block_until_ready(state2.ball_x)
+    t0 = time.perf_counter()
+    s = state
+    for i in range(REPEATS):
+        s, _ = run(s, i + 1)
+    jax.block_until_ready(s.ball_x)
+    dt = time.perf_counter() - t0
+    return BATCH * CHUNK * REPEATS / dt
+
+
 def main():
     env_rate = bench_env_steps()
+    print(f"[bench] XLA scan rollout env-steps/s: {env_rate:,.0f}",
+          file=sys.stderr)
+    try:
+        pallas_rate = bench_pallas_rollout()
+        print(f"[bench] Pallas fused rollout env-steps/s: {pallas_rate:,.0f}",
+              file=sys.stderr)
+        env_rate = max(env_rate, pallas_rate)
+    except Exception as e:
+        print(f"[bench] pallas bench failed: {e}", file=sys.stderr)
     try:
         train_rate = bench_train_iteration()
         print(f"[bench] train-iteration env-steps/s: {train_rate:,.0f}",

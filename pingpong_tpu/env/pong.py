@@ -317,6 +317,76 @@ def step(
     return new_state, out
 
 
+def _serve_batch(params: EnvParams, key: Array, batch_shape) -> Tuple[Array, Array, Array]:
+    """Batched serve randomization: one key yields (vx, vy, spin) arrays of
+    ``batch_shape``. Distribution identical to :func:`_serve`; draws cost
+    4 batch-shaped uniforms instead of a per-env key-split chain (the
+    throughput-critical difference for lockstep auto-reset: threefry key
+    splitting per env per step dominated rollout time)."""
+    k_speed, k_side, k_angle, k_spin = jax.random.split(key, 4)
+    speed = jax.random.uniform(
+        k_speed, batch_shape, jnp.float32, params.speed_min, params.speed_max
+    )
+    u = jax.random.uniform(k_angle, batch_shape, jnp.float32)
+    lo0, hi0 = params.angle_intervals[0, 0], params.angle_intervals[0, 1]
+    lo1, hi1 = params.angle_intervals[1, 0], params.angle_intervals[1, 1]
+    pick_second = jax.random.uniform(k_side, batch_shape, jnp.float32) >= 0.5
+    angle = jnp.deg2rad(
+        jnp.where(pick_second, lo1 + u * (hi1 - lo1), lo0 + u * (hi0 - lo0))
+    )
+    spin = jax.random.uniform(
+        k_spin, batch_shape, jnp.float32, params.spin_min, params.spin_max
+    )
+    return speed * jnp.cos(angle), speed * jnp.sin(angle), spin
+
+
+def step_autoreset_batch(
+    params: EnvParams,
+    state: EnvState,
+    key: Array,
+    action_a: Array,
+    action_b: Array,
+    max_episode_steps: int = 0,
+) -> Tuple[EnvState, StepOut]:
+    """Batched step + masked auto-reset using ONE key for the whole batch.
+
+    The hot-loop form: ``state`` has a leading batch axis; the env step is
+    vmapped, termination/truncation is masked, and fresh serves for the
+    ended envs come from :func:`_serve_batch`. Identical semantics to
+    vmapping :func:`step_autoreset` over per-env keys, with a different
+    (cheaper) randomness layout — the framework's reproducibility contract
+    covers layout + seed, not cross-layout bit equality.
+    """
+    new_state, out = jax.vmap(step, in_axes=(None, 0, 0, 0))(
+        params, state, action_a, action_b
+    )
+    ended = out.done
+    if max_episode_steps:
+        truncated = new_state.t >= max_episode_steps
+        ended = ended | truncated
+        out = out._replace(done=out.done | truncated)
+    batch_shape = state.ball_x.shape
+    svx, svy, sspin = _serve_batch(params, key, batch_shape)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    zero_i = jnp.zeros(batch_shape, i32)
+    next_state = EnvState(
+        ball_x=jnp.where(ended, f32(0.5), new_state.ball_x),
+        ball_y=jnp.where(ended, f32(0.5), new_state.ball_y),
+        ball_vx=jnp.where(ended, svx, new_state.ball_vx),
+        ball_vy=jnp.where(ended, svy, new_state.ball_vy),
+        spin=jnp.where(ended, sspin, new_state.spin),
+        top_paddle_x=jnp.where(ended, f32(0.5), new_state.top_paddle_x),
+        bottom_paddle_x=jnp.where(ended, f32(0.5), new_state.bottom_paddle_x),
+        score_a=jnp.where(ended, zero_i, new_state.score_a),
+        score_b=jnp.where(ended, zero_i, new_state.score_b),
+        bounce_count=jnp.where(ended, zero_i, new_state.bounce_count),
+        t=jnp.where(ended, zero_i, new_state.t),
+        done=jnp.zeros(batch_shape, jnp.bool_),
+    )
+    return next_state, out
+
+
 def step_autoreset(
     params: EnvParams,
     state: EnvState,

@@ -1,4 +1,4 @@
-"""Device-resident prioritized experience replay (PER).
+"""Device-resident prioritized experience replay (PER), two-level layout.
 
 Re-design of the reference's flat-array PER
 (``/root/reference/scripts/train_iterative.py:49-76``) as fixed-shape jnp
@@ -13,21 +13,28 @@ preserved:
   their max;
 * ``update_priorities(idx, |td| + eps)``.
 
-TPU-native differences:
+Performance layout — the TPU version of a sum-tree: priorities are cached
+as ``p_alpha = prios**alpha`` and summarized per chunk of ``CHUNK``
+entries (``chunk_sums``, ``chunk_max``). Writes touch only the affected
+chunks; sampling is two-level inverse-CDF:
 
-* pushes are batched (a whole rollout chunk at once). The reference pushes
-  one transition per env step, each stamped with the running max priority;
-  since pushes never change the max, stamping a batch with one max is
-  byte-equivalent to the sequential semantics.
-* categorical sampling is inverse-CDF: one ``cumsum`` over the priority
-  array plus a vectorized binary search (``searchsorted``) for the batch
-  of uniforms. This is O(N) streaming work on the VPU — the natural Pallas
-  fusion target if it ever shows up in profiles.
-* duplicate sampled indices are possible exactly as in the reference
-  (``np.random.choice`` with replacement); the scatter in
-  ``update_priorities`` then resolves duplicates to one of the written
-  values, matching the reference's last-writer-wins loop up to update
-  order (the written values differ only by float noise on the same TD).
+1. cumsum over the ~N/CHUNK chunk sums (a few thousand elements, not N),
+   binary-search the batch of uniforms into chunks;
+2. gather each sampled chunk's CHUNK priorities, row-cumsum, and offset-
+   search within the row (batch x CHUNK elements).
+
+This removes the reference-shaped O(N) scan per sample — the dominant
+cost at N=1M with dozens of updates per iteration — while sampling from
+exactly the same distribution. The max-priority stamp for pushes comes
+from ``chunk_max`` instead of an O(N) reduction.
+
+Batched-push note: the reference pushes one transition per env step, each
+stamped with the running max priority; pushes never change the max, so
+stamping a whole rollout chunk with one max is equivalent to the
+sequential semantics. Duplicate sampled indices are possible exactly as in
+the reference (``np.random.choice`` with replacement); duplicate scatter
+writes in ``update_priorities`` resolve to one of the written values,
+matching the reference's last-writer-wins loop up to update order.
 """
 
 from __future__ import annotations
@@ -38,6 +45,20 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+MAX_CHUNK = 1024
+
+
+def _chunk_size(capacity: int) -> int:
+    """Largest power-of-two divisor of capacity, capped at MAX_CHUNK."""
+    c = 1
+    while c < MAX_CHUNK and capacity % (c * 2) == 0:
+        c *= 2
+    return c
+
+
+def _chunk_of(buf: "PERBuffer") -> int:
+    return buf.prios.shape[0] // buf.chunk_sums.shape[0]
 
 
 class Transition(NamedTuple):
@@ -56,7 +77,10 @@ class PERBuffer(NamedTuple):
     reward: Array     # (N,)
     next_obs: Array   # (N, obs_dim)
     done: Array       # (N,)
-    prios: Array      # (N,) raw priorities (not alpha-powered)
+    prios: Array      # (N,) raw priorities
+    p_alpha: Array    # (N,) cached prios**alpha (0 for empty slots)
+    chunk_sums: Array # (N/CHUNK,) per-chunk sums of p_alpha
+    chunk_max: Array  # (N/CHUNK,) per-chunk max of prios
     pos: Array        # i32 ring cursor
     size: Array       # i32 filled count
 
@@ -68,6 +92,7 @@ class PERSample(NamedTuple):
 
 
 def per_init(capacity: int, obs_dim: int = 7) -> PERBuffer:
+    n_chunks = capacity // _chunk_size(capacity)
     return PERBuffer(
         obs=jnp.zeros((capacity, obs_dim), jnp.float32),
         action=jnp.zeros((capacity,), jnp.int32),
@@ -75,44 +100,83 @@ def per_init(capacity: int, obs_dim: int = 7) -> PERBuffer:
         next_obs=jnp.zeros((capacity, obs_dim), jnp.float32),
         done=jnp.zeros((capacity,), jnp.bool_),
         prios=jnp.zeros((capacity,), jnp.float32),
+        p_alpha=jnp.zeros((capacity,), jnp.float32),
+        chunk_sums=jnp.zeros((n_chunks,), jnp.float32),
+        chunk_max=jnp.zeros((n_chunks,), jnp.float32),
         pos=jnp.int32(0),
         size=jnp.int32(0),
     )
 
 
-def per_push(buf: PERBuffer, batch: Transition) -> PERBuffer:
+def _refresh_chunks(
+    p_alpha: Array, prios: Array, chunk_sums: Array, chunk_max: Array,
+    chunk_ids: Array,
+) -> Tuple[Array, Array]:
+    """Recompute summaries for the given chunk ids (duplicates fine)."""
+    n_chunks = chunk_sums.shape[0]
+    rows_a = p_alpha.reshape(n_chunks, -1)[chunk_ids]   # (K, chunk)
+    rows_p = prios.reshape(n_chunks, -1)[chunk_ids]
+    chunk_sums = chunk_sums.at[chunk_ids].set(jnp.sum(rows_a, axis=1))
+    chunk_max = chunk_max.at[chunk_ids].set(jnp.max(rows_p, axis=1))
+    return chunk_sums, chunk_max
+
+
+def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
     """Append M transitions at the ring cursor with max-priority stamps."""
     m = batch.action.shape[0]
     cap = buf.prios.shape[0]
     idx = (buf.pos + jnp.arange(m, dtype=jnp.int32)) % cap
-    max_p = jnp.where(buf.size > 0, jnp.max(buf.prios), jnp.float32(1.0))
-    return PERBuffer(
+    max_p = jnp.where(buf.size > 0, jnp.max(buf.chunk_max), jnp.float32(1.0))
+    chunk = _chunk_of(buf)
+    prios = buf.prios.at[idx].set(max_p)
+    p_alpha = buf.p_alpha.at[idx].set(max_p ** alpha)
+    # affected chunks: a contiguous cyclic range of ceil(m/chunk)+1 chunks
+    n_aff = min(m // chunk + 2, cap // chunk)
+    first = buf.pos // chunk
+    chunk_ids = (first + jnp.arange(n_aff, dtype=jnp.int32)) % (cap // chunk)
+    chunk_sums, chunk_max = _refresh_chunks(
+        p_alpha, prios, buf.chunk_sums, buf.chunk_max, chunk_ids
+    )
+    return buf._replace(
         obs=buf.obs.at[idx].set(batch.obs),
         action=buf.action.at[idx].set(batch.action),
         reward=buf.reward.at[idx].set(batch.reward),
         next_obs=buf.next_obs.at[idx].set(batch.next_obs),
         done=buf.done.at[idx].set(batch.done),
-        prios=buf.prios.at[idx].set(max_p),
+        prios=prios,
+        p_alpha=p_alpha,
+        chunk_sums=chunk_sums,
+        chunk_max=chunk_max,
         pos=(buf.pos + m) % cap,
         size=jnp.minimum(buf.size + m, cap),
     )
 
 
 def per_sample(
-    buf: PERBuffer, key: Array, batch_size: int, alpha: float, beta: Array
+    buf: PERBuffer, key: Array, batch_size: int, beta: Array
 ) -> PERSample:
-    """Prioritized sample with importance weights (ref sample(), :64-73)."""
+    """Two-level prioritized sample with importance weights. (alpha is
+    baked into the cached ``p_alpha`` at write time — pushes and priority
+    updates take it as an argument.)"""
     cap = buf.prios.shape[0]
-    mask = jnp.arange(cap, dtype=jnp.int32) < buf.size
-    p = jnp.where(mask, buf.prios, 0.0) ** alpha
-    p = jnp.where(mask, p, 0.0)  # 0**alpha == 0 but guard inf for alpha<0
-    cdf = jnp.cumsum(p)
-    total = cdf[-1]
+    chunk = _chunk_of(buf)
+    n_chunks = cap // chunk
+    chunk_cdf = jnp.cumsum(buf.chunk_sums)
+    total = chunk_cdf[-1]
     u = jax.random.uniform(key, (batch_size,), jnp.float32) * total
-    idx = jnp.clip(
-        jnp.searchsorted(cdf, u, side="right"), 0, jnp.maximum(buf.size - 1, 0)
+    cidx = jnp.clip(
+        jnp.searchsorted(chunk_cdf, u, side="right"), 0, n_chunks - 1
     ).astype(jnp.int32)
-    probs = p[idx] / jnp.maximum(total, 1e-30)
+    residual = u - jnp.where(cidx > 0, chunk_cdf[cidx - 1], 0.0)
+    rows = buf.p_alpha.reshape(n_chunks, chunk)[cidx]       # (bs, chunk)
+    row_cdf = jnp.cumsum(rows, axis=1)
+    offset = jnp.sum(
+        (row_cdf < residual[:, None]).astype(jnp.int32), axis=1
+    )
+    offset = jnp.clip(offset, 0, chunk - 1)
+    idx = cidx * chunk + offset
+    idx = jnp.clip(idx, 0, jnp.maximum(buf.size - 1, 0)).astype(jnp.int32)
+    probs = buf.p_alpha[idx] / jnp.maximum(total, 1e-30)
     n = buf.size.astype(jnp.float32)
     weights = (n * jnp.maximum(probs, 1e-30)) ** (-beta)
     weights = weights / jnp.maximum(jnp.max(weights), 1e-30)
@@ -127,10 +191,21 @@ def per_sample(
 
 
 def per_update_priorities(
-    buf: PERBuffer, indices: Array, td_errors: Array, eps: float = 1e-6
+    buf: PERBuffer, indices: Array, td_errors: Array, alpha: float,
+    eps: float = 1e-6,
 ) -> PERBuffer:
+    chunk = _chunk_of(buf)
     new_p = jnp.abs(td_errors) + eps
-    return buf._replace(prios=buf.prios.at[indices].set(new_p))
+    prios = buf.prios.at[indices].set(new_p)
+    p_alpha = buf.p_alpha.at[indices].set(new_p ** alpha)
+    chunk_ids = (indices // chunk).astype(jnp.int32)
+    chunk_sums, chunk_max = _refresh_chunks(
+        p_alpha, prios, buf.chunk_sums, buf.chunk_max, chunk_ids
+    )
+    return buf._replace(
+        prios=prios, p_alpha=p_alpha,
+        chunk_sums=chunk_sums, chunk_max=chunk_max,
+    )
 
 
 def beta_schedule(frame_idx: Array, beta_start: float, beta_frames: int) -> Array:

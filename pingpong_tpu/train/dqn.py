@@ -53,7 +53,7 @@ from pingpong_tpu.env.pong import (
     observe_a,
     observe_b,
     reset,
-    step_autoreset,
+    step_autoreset_batch,
 )
 from pingpong_tpu.models.qnet import (
     QNetParams,
@@ -167,6 +167,13 @@ class DQNLearner:
 
         batched = NamedSharding(self.mesh, P(self.data_axis))
         repl = NamedSharding(self.mesh, P())
+        ndev = self.mesh.shape[self.data_axis]
+
+        def put_if_divisible(x):
+            # small summary arrays (e.g. a single-chunk PER summary) cannot
+            # split over the axis; replicate them instead
+            sh = batched if x.shape and x.shape[0] % ndev == 0 else repl
+            return jax.device_put(x, sh)
 
         def put_batched(tree):
             return jax.tree_util.tree_map(
@@ -190,6 +197,9 @@ class DQNLearner:
                 next_obs=jax.device_put(state.buffer.next_obs, batched),
                 done=jax.device_put(state.buffer.done, batched),
                 prios=jax.device_put(state.buffer.prios, batched),
+                p_alpha=jax.device_put(state.buffer.p_alpha, batched),
+                chunk_sums=put_if_divisible(state.buffer.chunk_sums),
+                chunk_max=put_if_divisible(state.buffer.chunk_max),
                 pos=jax.device_put(state.buffer.pos, repl),
                 size=jax.device_put(state.buffer.size, repl),
             ),
@@ -285,11 +295,10 @@ class DQNLearner:
 
             act_b = qnet_act_train(k_act, st.params_b, obs_b, st.epsilon)
 
-            step_keys = jax.random.split(k_step, cfg.num_envs)
-            next_env, out = jax.vmap(
-                step_autoreset, in_axes=(None, 0, 0, 0, 0, None)
-            )(env_params, st.env_state, step_keys, act_a, act_b,
-              self.env_cfg.max_episode_steps)
+            next_env, out = step_autoreset_batch(
+                env_params, st.env_state, k_step, act_a, act_b,
+                self.env_cfg.max_episode_steps,
+            )
 
             trans = Transition(
                 obs=obs_b,
@@ -345,7 +354,9 @@ class DQNLearner:
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), traj
         )
-        state = state._replace(buffer=per_push(state.buffer, flat))
+        state = state._replace(
+            buffer=per_push(state.buffer, flat, self.cfg.per_alpha)
+        )
         return state, jnp.sum(stats, axis=0)
 
     # -- learner update ----------------------------------------------------
@@ -356,9 +367,7 @@ class DQNLearner:
             key, k_sample, k_noise = jax.random.split(st.key, 3)
             frame = st.frame_idx + 1
             beta = beta_schedule(frame, cfg.per_beta_start, cfg.per_beta_frames)
-            sample = per_sample(
-                st.buffer, k_sample, cfg.batch_size, cfg.per_alpha, beta
-            )
+            sample = per_sample(st.buffer, k_sample, cfg.batch_size, beta)
             noise = qnet_sample_noise(k_noise, st.params_b)
             tr = sample.batch
 
@@ -384,7 +393,7 @@ class DQNLearner:
             updates, opt_state = tx.update(grads, st.opt_state, st.params_b)
             params_b = optax.apply_updates(st.params_b, updates)
             buffer = per_update_priorities(
-                st.buffer, sample.indices, td_abs, cfg.per_eps
+                st.buffer, sample.indices, td_abs, cfg.per_alpha, cfg.per_eps
             )
             train_steps = st.train_steps + 1
             sync = (train_steps % cfg.target_update_interval) == 0

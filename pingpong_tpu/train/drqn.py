@@ -44,7 +44,7 @@ from pingpong_tpu.env.pong import (
     observe_a,
     observe_b,
     reset,
-    step_autoreset,
+    step_autoreset_batch,
 )
 from pingpong_tpu.models.policy import epsilon_greedy
 from pingpong_tpu.models.qnet_rnn import (
@@ -235,11 +235,10 @@ class DRQNLearner:
             q_b, hid_b_new = qnet_rnn_step(st.params_b, obs_b, st.hid_b, noise)
             act_b = epsilon_greedy(k_eps, q_b, st.epsilon, q_b.shape[-1])
 
-            step_keys = jax.random.split(k_step, cfg.num_envs)
-            next_env, out = jax.vmap(
-                step_autoreset, in_axes=(None, 0, 0, 0, 0, None)
-            )(env_params, st.env_state, step_keys, act_a, act_b,
-              cfg.max_episode_steps)
+            next_env, out = step_autoreset_batch(
+                env_params, st.env_state, k_step, act_a, act_b,
+                cfg.max_episode_steps,
+            )
 
             buffer = seq_push_step(
                 st.buffer, obs_b, act_b, out.reward_b, out.obs_b, out.done,

@@ -1,4 +1,4 @@
-"""PER buffer unit tests."""
+"""PER buffer unit tests (two-level layout)."""
 
 import numpy as np
 import jax
@@ -13,6 +13,8 @@ from pingpong_tpu.replay.per import (
     per_update_priorities,
 )
 
+A = 0.6  # alpha used throughout
+
 
 def make_batch(n, start=0):
     return Transition(
@@ -26,29 +28,52 @@ def make_batch(n, start=0):
 
 def test_push_ring_and_max_priority():
     buf = per_init(8)
-    buf = per_push(buf, make_batch(3))
+    buf = per_push(buf, make_batch(3), A)
     assert int(buf.size) == 3 and int(buf.pos) == 3
     np.testing.assert_allclose(np.asarray(buf.prios[:3]), 1.0)
     # bump a priority, then push more: new entries get the new max
-    buf = per_update_priorities(buf, jnp.asarray([1]), jnp.asarray([5.0]))
-    buf = per_push(buf, make_batch(2, start=10))
+    buf = per_update_priorities(buf, jnp.asarray([1]), jnp.asarray([5.0]), A)
+    buf = per_push(buf, make_batch(2, start=10), A)
     np.testing.assert_allclose(np.asarray(buf.prios[3:5]), 5.0 + 1e-6)
     # wrap-around
-    buf = per_push(buf, make_batch(5, start=20))
+    buf = per_push(buf, make_batch(5, start=20), A)
     assert int(buf.size) == 8 and int(buf.pos) == 2
     # slot 0 was overwritten by the wrap (start=20 batch elements 3,4)
     np.testing.assert_allclose(float(buf.obs[0, 0]), 23.0)
 
 
+def test_chunk_summaries_consistent():
+    buf = per_init(4096)  # chunk = 1024, 4 chunks
+    buf = per_push(buf, make_batch(1500), A)
+    buf = per_update_priorities(
+        buf, jnp.asarray([0, 700, 1400]), jnp.asarray([2.0, 3.0, 4.0]), A
+    )
+    p_alpha = np.asarray(buf.p_alpha)
+    sums = p_alpha.reshape(4, 1024).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(buf.chunk_sums), sums, rtol=1e-5)
+    maxs = np.asarray(buf.prios).reshape(4, 1024).max(axis=1)
+    np.testing.assert_allclose(np.asarray(buf.chunk_max), maxs, rtol=1e-6)
+
+
+def test_push_larger_than_chunk_wraps_summaries():
+    buf = per_init(2048)
+    buf = per_push(buf, make_batch(2000), A)
+    buf = per_push(buf, make_batch(1500, start=5000), A)  # wraps
+    p_alpha = np.asarray(buf.p_alpha)
+    chunk = 1024
+    sums = p_alpha.reshape(-1, chunk).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(buf.chunk_sums), sums, rtol=1e-5)
+    assert int(buf.pos) == (2000 + 1500) % 2048
+
+
 def test_sampling_follows_priorities():
     buf = per_init(64)
-    buf = per_push(buf, make_batch(64))
-    # give index 7 overwhelming priority
-    buf = per_update_priorities(buf, jnp.asarray([7]), jnp.asarray([1000.0]))
-    s = per_sample(buf, jax.random.PRNGKey(0), 256, alpha=1.0, beta=jnp.float32(0.4))
+    buf = per_push(buf, make_batch(64), 1.0)
+    # give index 7 overwhelming priority (alpha=1 for direct proportionality)
+    buf = per_update_priorities(buf, jnp.asarray([7]), jnp.asarray([1000.0]), 1.0)
+    s = per_sample(buf, jax.random.PRNGKey(0), 256, beta=jnp.float32(0.4))
     frac = (np.asarray(s.indices) == 7).mean()
     assert frac > 0.9
-    # weights: rare (low-prio) samples get the max weight 1.0
     assert np.asarray(s.weights).max() <= 1.0 + 1e-6
     hi = np.asarray(s.weights)[np.asarray(s.indices) == 7]
     lo = np.asarray(s.weights)[np.asarray(s.indices) != 7]
@@ -56,36 +81,41 @@ def test_sampling_follows_priorities():
         assert hi.max() < lo.min()
 
 
+def test_sampling_two_level_distribution():
+    # priorities proportional across chunks: chunk hit counts must follow
+    buf = per_init(4096)
+    buf = per_push(buf, make_batch(4096), 1.0)
+    prios = jnp.concatenate([
+        jnp.full((1024,), 1.0), jnp.full((1024,), 3.0),
+        jnp.full((1024,), 0.5), jnp.full((1024,), 0.0001),
+    ])
+    buf = per_update_priorities(buf, jnp.arange(4096), prios, 1.0, eps=0.0)
+    s = per_sample(buf, jax.random.PRNGKey(1), 8192, beta=jnp.float32(0.0))
+    counts = np.bincount(np.asarray(s.indices) // 1024, minlength=4)
+    frac = counts / counts.sum()
+    np.testing.assert_allclose(frac, [1 / 4.5, 3 / 4.5, 0.5 / 4.5, 0.0001 / 4.5],
+                               atol=0.02)
+
+
 def test_sample_respects_fill_level():
     buf = per_init(128)
-    buf = per_push(buf, make_batch(10))
-    s = per_sample(buf, jax.random.PRNGKey(1), 512, alpha=0.6, beta=jnp.float32(1.0))
+    buf = per_push(buf, make_batch(10), A)
+    s = per_sample(buf, jax.random.PRNGKey(1), 512, beta=jnp.float32(1.0))
     assert np.asarray(s.indices).max() < 10
     # uniform priorities -> importance weights all 1
     np.testing.assert_allclose(np.asarray(s.weights), 1.0, rtol=1e-5)
 
 
-def test_alpha_flattens_distribution():
-    buf = per_init(32)
-    buf = per_push(buf, make_batch(32))
-    buf = per_update_priorities(
-        buf, jnp.arange(32), jnp.linspace(0.1, 10.0, 32)
-    )
-    s0 = per_sample(buf, jax.random.PRNGKey(2), 4096, alpha=0.0, beta=jnp.float32(0.4))
-    counts = np.bincount(np.asarray(s0.indices), minlength=32)
-    # alpha=0 -> uniform
-    assert counts.min() > 4096 / 32 * 0.5
-
-
 def test_beta_schedule():
-    np.testing.assert_allclose(float(beta_schedule(jnp.int32(0), 0.4, 100)), 0.4, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(beta_schedule(jnp.int32(0), 0.4, 100)), 0.4, rtol=1e-6)
     np.testing.assert_allclose(float(beta_schedule(jnp.int32(50), 0.4, 100)), 0.7)
     assert float(beta_schedule(jnp.int32(500), 0.4, 100)) == 1.0
 
 
 def test_update_priorities_abs_plus_eps():
     buf = per_init(8)
-    buf = per_push(buf, make_batch(4))
-    buf = per_update_priorities(buf, jnp.asarray([0, 2]), jnp.asarray([-2.0, 0.5]))
+    buf = per_push(buf, make_batch(4), A)
+    buf = per_update_priorities(buf, jnp.asarray([0, 2]), jnp.asarray([-2.0, 0.5]), A)
     np.testing.assert_allclose(float(buf.prios[0]), 2.0 + 1e-6)
     np.testing.assert_allclose(float(buf.prios[2]), 0.5 + 1e-6)
