@@ -55,10 +55,17 @@ def cmd_train(args) -> int:
     promoted = sum(1 for r in records if r.promoted)
     print(f"done: {promoted}/{len(records)} generations promoted")
     try:
-        from pingpong_tpu.utils.plotting import plot_selfplay_records
+        from pingpong_tpu.utils.plotting import (
+            plot_reward_history,
+            plot_selfplay_records,
+        )
 
-        plot_selfplay_records(
-            records, f"{args.workdir}/{cfg.dqn.plot_dir}/training_iterative_rewards.png"
+        plot_dir = f"{args.workdir}/{cfg.dqn.plot_dir}"
+        plot_selfplay_records(records, f"{plot_dir}/generation_gates.png")
+        plot_reward_history(
+            driver.reward_history,
+            f"{plot_dir}/training_iterative_rewards.png",
+            title="QNet self-play: mean episode reward (B)",
         )
     except Exception as e:  # plotting must never fail the run
         print(f"[warn] plot failed: {e}", file=sys.stderr)
@@ -77,6 +84,16 @@ def cmd_train_rnn(args) -> int:
     records = driver.run()
     promoted = sum(1 for r in records if r.promoted)
     print(f"done: {promoted}/{len(records)} generations promoted")
+    try:
+        from pingpong_tpu.utils.plotting import plot_reward_history
+
+        plot_reward_history(
+            driver.reward_history,
+            f"{args.workdir}/{cfg.drqn.plot_dir_rnn}/training_rnn_rewards.png",
+            title="DRQN self-play: mean episode reward (B)",
+        )
+    except Exception as e:
+        print(f"[warn] plot failed: {e}", file=sys.stderr)
     return 0
 
 

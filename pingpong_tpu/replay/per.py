@@ -122,14 +122,37 @@ def _refresh_chunks(
 
 
 def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
-    """Append M transitions at the ring cursor with max-priority stamps."""
+    """Append M transitions at the ring cursor with max-priority stamps.
+
+    Fast path: when capacity is a multiple of the push size, the ring
+    cursor always lands on aligned boundaries and the write is ONE
+    contiguous ``dynamic_update_slice`` — a large-index scatter on TPU
+    serializes and can cost two orders of magnitude more than the slice.
+    """
     m = batch.action.shape[0]
     cap = buf.prios.shape[0]
-    idx = (buf.pos + jnp.arange(m, dtype=jnp.int32)) % cap
     max_p = jnp.where(buf.size > 0, jnp.max(buf.chunk_max), jnp.float32(1.0))
     chunk = _chunk_of(buf)
-    prios = buf.prios.at[idx].set(max_p)
-    p_alpha = buf.p_alpha.at[idx].set(max_p ** alpha)
+    aligned = cap % m == 0  # static
+
+    if aligned:
+        start = buf.pos  # always a multiple of m, no wrap mid-push
+
+        def put(dst, src):
+            idx0 = (start,) + (0,) * (src.ndim - 1)
+            return jax.lax.dynamic_update_slice(dst, src, idx0)
+
+        prios = put(buf.prios, jnp.full((m,), max_p, jnp.float32))
+        p_alpha = put(buf.p_alpha, jnp.full((m,), max_p ** alpha, jnp.float32))
+    else:
+        idx = (buf.pos + jnp.arange(m, dtype=jnp.int32)) % cap
+
+        def put(dst, src):
+            return dst.at[idx].set(src)
+
+        prios = buf.prios.at[idx].set(max_p)
+        p_alpha = buf.p_alpha.at[idx].set(max_p ** alpha)
+
     # affected chunks: a contiguous cyclic range of ceil(m/chunk)+1 chunks
     n_aff = min(m // chunk + 2, cap // chunk)
     first = buf.pos // chunk
@@ -138,11 +161,11 @@ def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
         p_alpha, prios, buf.chunk_sums, buf.chunk_max, chunk_ids
     )
     return buf._replace(
-        obs=buf.obs.at[idx].set(batch.obs),
-        action=buf.action.at[idx].set(batch.action),
-        reward=buf.reward.at[idx].set(batch.reward),
-        next_obs=buf.next_obs.at[idx].set(batch.next_obs),
-        done=buf.done.at[idx].set(batch.done),
+        obs=put(buf.obs, batch.obs),
+        action=put(buf.action, batch.action),
+        reward=put(buf.reward, batch.reward),
+        next_obs=put(buf.next_obs, batch.next_obs),
+        done=put(buf.done, batch.done),
         prios=prios,
         p_alpha=p_alpha,
         chunk_sums=chunk_sums,

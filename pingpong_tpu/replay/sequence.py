@@ -106,6 +106,88 @@ def seq_push_step(
     )
 
 
+def seq_push_rollout(
+    buf: SeqReplay,
+    obs: Array,        # (T, B, obs_dim)
+    action: Array,     # (T, B)
+    reward: Array,     # (T, B)
+    next_obs: Array,   # (T, B, obs_dim)
+    done: Array,       # (T, B) bool
+    trace_length: int,
+) -> SeqReplay:
+    """Write a whole rollout chunk (T lockstep steps) in one bulk update.
+
+    Equivalent to T calls of :func:`seq_push_step` (episode ids, admission
+    counting and cursors are reconstructed vectorially from the done
+    mask), but the rollout scan no longer needs to carry the ring buffer —
+    a large-carry scan makes XLA thread hundreds of MB through every
+    iteration.
+    """
+    T, B = done.shape
+    ring = buf.ep_id.shape[1]
+    if T > ring:
+        raise ValueError(f"rollout chunk T={T} exceeds ring length {ring}")
+    cols = (buf.cursor + jnp.arange(T, dtype=jnp.int32)) % ring
+
+    done_bt = done.T.astype(jnp.int32)                      # (B, T)
+    # episode id at each written column: cur_ep_id + dones before t
+    prefix = jnp.cumsum(done_bt, axis=1) - done_bt          # exclusive
+    ep_ids = buf.cur_ep_id[:, None] + prefix                # (B, T)
+
+    # per-step episode length at t: steps since last done (exclusive) + 1,
+    # seeded with the in-flight length
+    idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    marked = jnp.where(done_bt > 0, idx, -1)
+    last_done_incl = jax.lax.associative_scan(jnp.maximum, marked, axis=1)
+    last_done_excl = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), last_done_incl[:, :-1]], axis=1
+    )
+    length_t = jnp.where(
+        last_done_excl < 0,
+        buf.cur_ep_len[:, None] + idx + 1,
+        idx - last_done_excl,
+    )
+    admitted = (done_bt > 0) & (length_t >= trace_length)
+    n_admitted = jnp.sum(admitted.astype(jnp.int32))
+
+    any_done = jnp.any(done_bt > 0, axis=1)
+    new_cur_len = jnp.where(
+        any_done, (T - 1) - last_done_incl[:, -1], buf.cur_ep_len + T
+    )
+    new_cur_id = buf.cur_ep_id + jnp.sum(done_bt, axis=1)
+
+    aligned = ring % T == 0  # static: cursor % ring is then a multiple of T
+    col0 = buf.cursor % ring
+
+    def put(dst, src_tb):
+        # dst (B, R, ...) <- src (T, B, ...) at columns cols
+        src = jnp.moveaxis(src_tb, 0, 1)                    # (B, T, ...)
+        if aligned:
+            # contiguous column block: one dynamic_update_slice beats a
+            # T-index scatter by a wide margin on TPU
+            idx0 = (0, col0) + (0,) * (src.ndim - 2)
+            return jax.lax.dynamic_update_slice(dst, src, idx0)
+        return dst.at[:, cols].set(src)
+
+    def put_bt(dst, src_bt):
+        if aligned:
+            return jax.lax.dynamic_update_slice(dst, src_bt, (0, col0))
+        return dst.at[:, cols].set(src_bt)
+
+    return SeqReplay(
+        obs=put(buf.obs, obs),
+        action=put(buf.action, action),
+        reward=put(buf.reward, reward),
+        next_obs=put(buf.next_obs, next_obs),
+        done=put(buf.done, done),
+        ep_id=put_bt(buf.ep_id, ep_ids),
+        cursor=buf.cursor + T,
+        ep_count=buf.ep_count + n_admitted,
+        cur_ep_id=new_cur_id,
+        cur_ep_len=new_cur_len,
+    )
+
+
 def _window_valid(buf: SeqReplay, env: Array, t0: Array, trace_length: int) -> Array:
     """Endpoint-id equality + written-region check for (env, t0) windows."""
     ring = buf.ep_id.shape[1]

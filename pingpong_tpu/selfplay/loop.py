@@ -173,6 +173,10 @@ class QNetSelfPlay:
             env_steps += int(m.env_steps)
             self.win_a_window.add(int(m.games_vs_a), int(m.wins_vs_a))
             self.win_pool_window.add(int(m.games_vs_pool), int(m.wins_vs_pool))
+            if int(m.episodes) > 0:
+                self.reward_history.append(
+                    float(m.episode_return_sum) / int(m.episodes)
+                )
             eps_now = int(self.state.episodes)
             if eps_now - last_log_eps >= sp.win_rate_interval:
                 dt = watch.lap()

@@ -73,6 +73,7 @@ class DRQNSelfPlay:
         self.win_a_window = WinRateWindow(cfg.selfplay.win_rate_interval)
         self.win_pool_window = WinRateWindow(cfg.selfplay.win_rate_interval)
         self.records: List[GenerationRecord] = []
+        self.reward_history: List[float] = []
 
         # runtime pool from disk, faults excluded (ref :610)
         self.pool: List[QNetRNNParams] = load_pool(
@@ -209,6 +210,10 @@ class DRQNSelfPlay:
             env_steps += int(m.env_steps)
             self.win_a_window.add(int(m.games_vs_a), int(m.wins_vs_a))
             self.win_pool_window.add(int(m.games_vs_pool), int(m.wins_vs_pool))
+            if int(m.episodes) > 0:
+                self.reward_history.append(
+                    float(m.episode_return_sum) / int(m.episodes)
+                )
             # autosave cadence (ref :518-521)
             self._since_autosave += int(self.state.train_steps) - steps_before
             if (

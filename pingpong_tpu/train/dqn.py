@@ -96,6 +96,7 @@ class DQNMetrics(NamedTuple):
     wins_vs_a: Array
     games_vs_pool: Array
     wins_vs_pool: Array
+    episode_return_sum: Array
     mean_loss: Array
     updates_run: Array
     epsilon: Array
@@ -280,23 +281,26 @@ class DQNLearner:
     def _rollout(self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array):
         cfg = self.cfg
         env_params = self.env_params
+        params_b = state.params_b  # closed over: scan must not carry the
+        # replay buffer / optimizer / params — a fat carry makes XLA thread
+        # (and potentially copy) tens of MB through every scan iteration
 
         def step_fn(carry, _):
-            st: DQNTrainState = carry
-            key, k_act, k_step, k_pool_gate, k_pool_pick = jax.random.split(st.key, 5)
+            key, env_state, opp_idx, ep_return, epsilon, episodes = carry
+            key, k_act, k_step, k_pool_gate, k_pool_pick = jax.random.split(key, 5)
 
-            obs_a = observe_a(st.env_state)
-            obs_b = observe_b(st.env_state)
+            obs_a = observe_a(env_state)
+            obs_b = observe_b(env_state)
 
             # frozen opponents: batched Q for every pool slot, gather by idx
             q_all = jax.vmap(lambda p: qnet_apply(p, obs_a))(opp_stack)
             act_all = jnp.argmax(q_all, axis=-1).astype(jnp.int32)  # (K+1, B)
-            act_a = jnp.take_along_axis(act_all, st.opp_idx[None, :], axis=0)[0]
+            act_a = jnp.take_along_axis(act_all, opp_idx[None, :], axis=0)[0]
 
-            act_b = qnet_act_train(k_act, st.params_b, obs_b, st.epsilon)
+            act_b = qnet_act_train(k_act, params_b, obs_b, epsilon)
 
             next_env, out = step_autoreset_batch(
-                env_params, st.env_state, k_step, act_a, act_b,
+                env_params, env_state, k_step, act_a, act_b,
                 self.env_cfg.max_episode_steps,
             )
 
@@ -309,21 +313,22 @@ class DQNLearner:
             )
 
             # episode accounting (ref train_iterative.py:247-261)
-            ep_ret = st.ep_return + out.reward_b
+            ep_ret = ep_return + out.reward_b
             done = out.done
             win = (ep_ret > 0.0) & done
-            vs_pool = st.opp_idx > 0
+            vs_pool = opp_idx > 0
             stats = jnp.stack([
                 jnp.sum((done & ~vs_pool).astype(jnp.int32)),
                 jnp.sum((win & ~vs_pool).astype(jnp.int32)),
                 jnp.sum((done & vs_pool).astype(jnp.int32)),
                 jnp.sum((win & vs_pool).astype(jnp.int32)),
             ])
+            ret_sum = jnp.sum(jnp.where(done, ep_ret, 0.0))
 
             n_done = jnp.sum(done.astype(jnp.int32))
             epsilon = jnp.maximum(
                 jnp.float32(cfg.min_epsilon),
-                st.epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
+                epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
             )
 
             # re-bind opponent for envs that just reset (ref :235-236)
@@ -335,29 +340,36 @@ class DQNLearner:
                 k_pool_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
             ).astype(jnp.int32)
             new_opp = jnp.where(use_pool, pick + 1, 0)
-            opp_idx = jnp.where(done, new_opp, st.opp_idx)
+            opp_idx = jnp.where(done, new_opp, opp_idx)
 
-            new_st = st._replace(
-                key=key,
-                env_state=next_env,
-                opp_idx=opp_idx,
-                ep_return=jnp.where(done, 0.0, ep_ret),
-                epsilon=epsilon,
-                episodes=st.episodes + n_done,
+            new_carry = (
+                key, next_env, opp_idx,
+                jnp.where(done, 0.0, ep_ret), epsilon, episodes + n_done,
             )
-            return new_st, (trans, stats)
+            return new_carry, (trans, stats, ret_sum)
 
-        state, (traj, stats) = jax.lax.scan(
-            step_fn, state, None, length=cfg.rollout_length
+        carry0 = (
+            state.key, state.env_state, state.opp_idx,
+            state.ep_return, state.epsilon, state.episodes,
         )
+        carry, (traj, stats, ret_sums) = jax.lax.scan(
+            step_fn, carry0, None, length=cfg.rollout_length
+        )
+        key, env_state, opp_idx, ep_return, epsilon, episodes = carry
         # (T, B, ...) -> (T*B, ...): time-major flatten keeps temporal order
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), traj
         )
         state = state._replace(
-            buffer=per_push(state.buffer, flat, self.cfg.per_alpha)
+            key=key,
+            env_state=env_state,
+            opp_idx=opp_idx,
+            ep_return=ep_return,
+            epsilon=epsilon,
+            episodes=episodes,
+            buffer=per_push(state.buffer, flat, self.cfg.per_alpha),
         )
-        return state, jnp.sum(stats, axis=0)
+        return state, jnp.sum(stats, axis=0), jnp.sum(ret_sums)
 
     # -- learner update ----------------------------------------------------
     def _update(self, state: DQNTrainState):
@@ -430,7 +442,7 @@ class DQNLearner:
         self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array
     ) -> Tuple[DQNTrainState, DQNMetrics]:
         ep_before = state.episodes
-        state, stats = self._rollout(state, opp_stack, pool_size)
+        state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
         state, mean_loss, n_ran = self._update(state)
         metrics = DQNMetrics(
             episodes=state.episodes - ep_before,
@@ -438,6 +450,7 @@ class DQNLearner:
             wins_vs_a=stats[1],
             games_vs_pool=stats[2],
             wins_vs_pool=stats[3],
+            episode_return_sum=ret_sum,
             mean_loss=mean_loss,
             updates_run=n_ran,
             epsilon=state.epsilon,

@@ -59,7 +59,7 @@ from pingpong_tpu.models.qnet_rnn import (
 from pingpong_tpu.replay.sequence import (
     SeqReplay,
     seq_init,
-    seq_push_step,
+    seq_push_rollout,
     seq_sample,
 )
 
@@ -88,6 +88,7 @@ class DRQNMetrics(NamedTuple):
     wins_vs_a: Array
     games_vs_pool: Array
     wins_vs_pool: Array
+    episode_return_sum: Array
     mean_loss: Array
     updates_run: Array
     epsilon: Array
@@ -212,53 +213,53 @@ class DRQNLearner:
                  pool_size: Array):
         cfg = self.cfg
         env_params = self.env_params
+        params_b = state.params_b  # closed over; the scan carries only the
+        # per-step-evolving pieces (env state, hiddens, counters) — never
+        # the ring buffer, which is bulk-written after the scan
 
         def step_fn(carry, _):
-            st: DRQNTrainState = carry
-            key, k_noise, k_eps, k_step, k_gate, k_pick = jax.random.split(st.key, 6)
+            (key, env_state, hid_b, hid_opp, opp_idx, ep_return, epsilon,
+             episodes) = carry
+            key, k_noise, k_eps, k_step, k_gate, k_pick = jax.random.split(key, 6)
 
-            obs_a = observe_a(st.env_state)
-            obs_b = observe_b(st.env_state)
+            obs_a = observe_a(env_state)
+            obs_b = observe_b(env_state)
 
             # opponents: every slot advances on all envs (greedy, mu weights)
             def member_step(p, hid):
                 q, new_hid = qnet_rnn_step(p, obs_a, hid)
                 return q, new_hid
 
-            q_all, hid_opp_new = jax.vmap(member_step)(opp_stack, st.hid_opp)
+            q_all, hid_opp_new = jax.vmap(member_step)(opp_stack, hid_opp)
             act_all = jnp.argmax(q_all, axis=-1).astype(jnp.int32)  # (K+1, B)
-            act_a = jnp.take_along_axis(act_all, st.opp_idx[None, :], axis=0)[0]
+            act_a = jnp.take_along_axis(act_all, opp_idx[None, :], axis=0)[0]
 
             # learner B: fresh noise each step + epsilon-greedy; hidden
             # advances on explore steps too (ref :371-389)
-            noise = qnet_rnn_sample_noise(k_noise, st.params_b)
-            q_b, hid_b_new = qnet_rnn_step(st.params_b, obs_b, st.hid_b, noise)
-            act_b = epsilon_greedy(k_eps, q_b, st.epsilon, q_b.shape[-1])
+            noise = qnet_rnn_sample_noise(k_noise, params_b)
+            q_b, hid_b_new = qnet_rnn_step(params_b, obs_b, hid_b, noise)
+            act_b = epsilon_greedy(k_eps, q_b, epsilon, q_b.shape[-1])
 
             next_env, out = step_autoreset_batch(
-                env_params, st.env_state, k_step, act_a, act_b,
+                env_params, env_state, k_step, act_a, act_b,
                 cfg.max_episode_steps,
             )
 
-            buffer = seq_push_step(
-                st.buffer, obs_b, act_b, out.reward_b, out.obs_b, out.done,
-                cfg.trace_length,
-            )
-
             done = out.done
-            ep_ret = st.ep_return + out.reward_b
+            ep_ret = ep_return + out.reward_b
             win = (ep_ret > 0.0) & done
-            vs_pool = st.opp_idx > 0
+            vs_pool = opp_idx > 0
             stats = jnp.stack([
                 jnp.sum((done & ~vs_pool).astype(jnp.int32)),
                 jnp.sum((win & ~vs_pool).astype(jnp.int32)),
                 jnp.sum((done & vs_pool).astype(jnp.int32)),
                 jnp.sum((win & vs_pool).astype(jnp.int32)),
             ])
+            ret_sum = jnp.sum(jnp.where(done, ep_ret, 0.0))
             n_done = jnp.sum(done.astype(jnp.int32))
             epsilon = jnp.maximum(
                 jnp.float32(cfg.min_epsilon),
-                st.epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
+                epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
             )
 
             # zero hidden on episode boundary (new episode, fresh memory)
@@ -281,23 +282,41 @@ class DRQNLearner:
             pick = jax.random.randint(
                 k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
             ).astype(jnp.int32)
-            opp_idx = jnp.where(done, jnp.where(use_pool, pick + 1, 0), st.opp_idx)
+            opp_idx = jnp.where(done, jnp.where(use_pool, pick + 1, 0), opp_idx)
 
-            new_st = st._replace(
-                key=key,
-                buffer=buffer,
-                env_state=next_env,
-                hid_b=hid_b_next,
-                hid_opp=hid_opp_next,
-                opp_idx=opp_idx,
-                ep_return=jnp.where(done, 0.0, ep_ret),
-                epsilon=epsilon,
-                episodes=st.episodes + n_done,
+            new_carry = (
+                key, next_env, hid_b_next, hid_opp_next, opp_idx,
+                jnp.where(done, 0.0, ep_ret), epsilon, episodes + n_done,
             )
-            return new_st, stats
+            trans = (obs_b, act_b, out.reward_b, out.obs_b, done)
+            return new_carry, (trans, stats, ret_sum)
 
-        state, stats = jax.lax.scan(step_fn, state, None, length=cfg.rollout_length)
-        return state, jnp.sum(stats, axis=0)
+        carry0 = (
+            state.key, state.env_state, state.hid_b, state.hid_opp,
+            state.opp_idx, state.ep_return, state.epsilon, state.episodes,
+        )
+        carry, (traj, stats, ret_sums) = jax.lax.scan(
+            step_fn, carry0, None, length=cfg.rollout_length
+        )
+        (key, env_state, hid_b, hid_opp, opp_idx, ep_return, epsilon,
+         episodes) = carry
+        obs_t, act_t, rew_t, next_obs_t, done_t = traj
+        buffer = seq_push_rollout(
+            state.buffer, obs_t, act_t, rew_t, next_obs_t, done_t,
+            cfg.trace_length,
+        )
+        state = state._replace(
+            key=key,
+            buffer=buffer,
+            env_state=env_state,
+            hid_b=hid_b,
+            hid_opp=hid_opp,
+            opp_idx=opp_idx,
+            ep_return=ep_return,
+            epsilon=epsilon,
+            episodes=episodes,
+        )
+        return state, jnp.sum(stats, axis=0), jnp.sum(ret_sums)
 
     # -- update ------------------------------------------------------------
     def _update(self, state: DRQNTrainState):
@@ -395,7 +414,7 @@ class DRQNLearner:
         self, state: DRQNTrainState, opp_stack: QNetRNNParams, pool_size: Array
     ) -> Tuple[DRQNTrainState, DRQNMetrics]:
         ep_before = state.episodes
-        state, stats = self._rollout(state, opp_stack, pool_size)
+        state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
         state, mean_loss, n_ran = self._update(state)
         metrics = DRQNMetrics(
             episodes=state.episodes - ep_before,
@@ -403,6 +422,7 @@ class DRQNLearner:
             wins_vs_a=stats[1],
             games_vs_pool=stats[2],
             wins_vs_pool=stats[3],
+            episode_return_sum=ret_sum,
             mean_loss=mean_loss,
             updates_run=n_ran,
             epsilon=state.epsilon,
