@@ -119,7 +119,10 @@ class QNetSelfPlay:
 
     # -- helpers -----------------------------------------------------------
     def _opp_stack(self):
-        return stack_opponents(self.params_a, self.pool, self.cfg.pool_max)
+        # exactly-sized stack: all slots' Q-values compute every step, so
+        # right-sizing beats padding to pool_max (the pool is fixed for the
+        # whole QNet run, ref :199-207 — compiled once)
+        return stack_opponents(self.params_a, self.pool, len(self.pool))
 
     def _eval_vs(self, params_a_list: List[QNetParams], n_games: int) -> float:
         """B (current learner) vs a uniform-per-game set of opponents."""

@@ -105,7 +105,8 @@ class DRQNSelfPlay:
                 if params is not None:
                     self.params_a = params
                     self.key, k_state = jax.random.split(self.key)
-                    self.state = self.learner.init_state(k_state, params)
+                    self.state = self.learner.init_state(
+                        k_state, params, n_opponent_slots=1 + len(self.pool))
                     self.init_params = params
                     restored = True
                     self.logger.log(
@@ -116,7 +117,8 @@ class DRQNSelfPlay:
             params = self.learner.init_params(k_model)
             self.params_a = params
             self.init_params = params
-            self.state = self.learner.init_state(k_state, params)
+            self.state = self.learner.init_state(
+                k_state, params, n_opponent_slots=1 + len(self.pool))
             self.logger.log({"event": "restore", "tier": 3})
 
     # -- full-state autosave / restore (ref :630-667, :237-290) -------------
@@ -153,6 +155,7 @@ class DRQNSelfPlay:
             params_b,
             epsilon=payload["epsilon"],
             episodes=payload["episode"],
+            n_opponent_slots=1 + len(self.pool),
         )
         self.state = self.state._replace(
             target_b=params_from_dict(payload["target_b"]),
@@ -198,9 +201,12 @@ class DRQNSelfPlay:
         sp = self.cfg.selfplay
         goal = int(self.state.episodes) + episodes_target
         watch = Stopwatch()
-        opp, pool_size = stack_rnn_opponents(
-            self.params_a, self.pool, self.cfg.pool_max
+        # exactly-sized stack: opponent compute/hidden memory scale with
+        # slot count; pool growth costs one recompile per generation
+        self.state = self.learner.resize_opponent_slots(
+            self.state, 1 + len(self.pool)
         )
+        opp, pool_size = stack_rnn_opponents(self.params_a, self.pool)
         pool_size = jnp.int32(pool_size)
         env_steps = 0
         last_log_eps = int(self.state.episodes)

@@ -100,11 +100,16 @@ class DRQNMetrics(NamedTuple):
 def stack_rnn_opponents(
     params_a: QNetRNNParams,
     pool: Sequence[QNetRNNParams],
-    pool_max: int,
+    pool_max: Optional[int] = None,
 ) -> Tuple[QNetRNNParams, int]:
-    if len(pool) > pool_max:
-        raise ValueError(f"pool of {len(pool)} exceeds pool_max={pool_max}")
-    members = [params_a] + list(pool) + [params_a] * (pool_max - len(pool))
+    """Stack [A, pool...] (padded to ``pool_max`` slots if given; default
+    exactly-sized — opponent compute and hidden-state memory scale with
+    slot count, so right-sizing beats padding; growing the pool just
+    triggers one recompile per generation)."""
+    n_pad = pool_max if pool_max is not None else len(pool)
+    if len(pool) > n_pad:
+        raise ValueError(f"pool of {len(pool)} exceeds pool_max={n_pad}")
+    members = [params_a] + list(pool) + [params_a] * (n_pad - len(pool))
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
     return stacked, len(pool)
 
@@ -144,12 +149,30 @@ class DRQNLearner:
         shape = (c.lstm_layers, batch, c.lstm_hidden_dim)
         return Hidden(h=jnp.zeros(shape, jnp.float32), c=jnp.zeros(shape, jnp.float32))
 
+    def opponent_hidden(self, n_slots: int) -> Hidden:
+        c = self.cfg
+        shape = (n_slots, c.lstm_layers, c.num_envs, c.lstm_hidden_dim)
+        return Hidden(h=jnp.zeros(shape, jnp.float32),
+                      c=jnp.zeros(shape, jnp.float32))
+
+    def resize_opponent_slots(
+        self, state: "DRQNTrainState", n_slots: int
+    ) -> "DRQNTrainState":
+        """Match the hidden-state tensor to a new opponent stack size
+        (zero-initialized; streams re-warm within an episode — the bound
+        member's stream is only consumed after an episode boundary reset,
+        so correctness is unaffected for newly added slots)."""
+        if state.hid_opp.h.shape[0] == n_slots:
+            return state
+        return state._replace(hid_opp=self.opponent_hidden(n_slots))
+
     def init_state(
         self,
         key: Array,
         params_b: Optional[QNetRNNParams] = None,
         epsilon: Optional[float] = None,
         episodes: int = 0,
+        n_opponent_slots: int = 1,
     ) -> DRQNTrainState:
         c = self.cfg
         k_model, k_env, k_loop = jax.random.split(key, 3)
@@ -159,11 +182,7 @@ class DRQNLearner:
             params_b = jax.tree_util.tree_map(jnp.copy, params_b)
         env_keys = jax.random.split(k_env, c.num_envs)
         env_state = jax.vmap(reset, in_axes=(None, 0))(self.env_params, env_keys)
-        n_slots = 1 + c.pool_max
-        opp_hidden = Hidden(
-            h=jnp.zeros((n_slots, c.lstm_layers, c.num_envs, c.lstm_hidden_dim)),
-            c=jnp.zeros((n_slots, c.lstm_layers, c.num_envs, c.lstm_hidden_dim)),
-        )
+        opp_hidden = self.opponent_hidden(n_opponent_slots)
         if epsilon is None:
             epsilon = c.initial_epsilon_per_generation
         return DRQNTrainState(

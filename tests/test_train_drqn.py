@@ -40,7 +40,7 @@ def test_drqn_iteration_runs_and_learns():
     learner = DRQNLearner(ENV, cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
     params_a = learner.init_params(jax.random.PRNGKey(1))
-    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    opp, n = stack_rnn_opponents(params_a, [])
     n = jnp.int32(n)
     # first iterations fill the buffer; gate = batch*min_start = 8 episodes
     total_updates = 0
@@ -58,7 +58,7 @@ def test_drqn_hidden_resets_on_done():
     learner = DRQNLearner(ENV, cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
     params_a = learner.init_params(jax.random.PRNGKey(1))
-    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    opp, n = stack_rnn_opponents(params_a, [])
     state, _ = learner.train_iteration(state, opp, jnp.int32(n))
     # any env that is freshly reset (t==0 can't happen mid-rollout without
     # done) — instead check: hidden norms are finite and not all zero
@@ -73,7 +73,8 @@ def test_drqn_rnn_pool_opponents():
     state = learner.init_state(jax.random.PRNGKey(0))
     params_a = learner.init_params(jax.random.PRNGKey(1))
     pool = [learner.init_params(jax.random.PRNGKey(2))]
-    opp, n = stack_rnn_opponents(params_a, pool, cfg.pool_max)
+    opp, n = stack_rnn_opponents(params_a, pool)
+    state = learner.resize_opponent_slots(state, 1 + len(pool))
     games_pool = 0
     for _ in range(4):
         state, m = learner.train_iteration(state, opp, jnp.int32(n))
@@ -89,7 +90,7 @@ def test_drqn_determinism():
         learner = DRQNLearner(ENV, cfg)
         state = learner.init_state(jax.random.PRNGKey(7))
         params_a = learner.init_params(params_a_seed)
-        opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+        opp, n = stack_rnn_opponents(params_a, [])
         for _ in range(3):
             state, m = learner.train_iteration(state, opp, jnp.int32(n))
         return jax.device_get(state.params_b), int(m.episodes)
@@ -106,7 +107,7 @@ def test_drqn_burn_in():
     learner = DRQNLearner(ENV, cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
     params_a = learner.init_params(jax.random.PRNGKey(1))
-    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    opp, n = stack_rnn_opponents(params_a, [])
     for _ in range(6):
         state, m = learner.train_iteration(state, opp, jnp.int32(n))
     assert np.isfinite(float(m.mean_loss))
@@ -118,7 +119,7 @@ def test_generation_rollover_and_reset():
     learner = DRQNLearner(ENV, cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
     params_a = learner.init_params(jax.random.PRNGKey(1))
-    opp, n = stack_rnn_opponents(params_a, [], cfg.pool_max)
+    opp, n = stack_rnn_opponents(params_a, [])
     state, _ = learner.train_iteration(state, opp, jnp.int32(n))
     buf_count = int(state.buffer.ep_count)
     state = learner.new_generation(state, params_a)
