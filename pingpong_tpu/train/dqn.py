@@ -383,14 +383,19 @@ class DQNLearner:
             noise = qnet_sample_noise(k_noise, st.params_b)
             tr = sample.batch
 
+            bs = cfg.batch_size
+
             def loss_fn(params):
-                q = qnet_apply(params, tr.obs, noise)
-                q_a = jnp.take_along_axis(q, tr.action[:, None], axis=-1)[:, 0]
-                # Double DQN: online-net argmax (no grad), eval-mode target
-                q_next_online = jax.lax.stop_gradient(
-                    qnet_apply(params, tr.next_obs, noise)
+                # one fused forward for (s, s') — same params, same noise
+                # (the reference refreshes noise once per train step and
+                # uses it for both forwards, train_iterative.py:141-155)
+                q_both = qnet_apply(
+                    params, jnp.concatenate([tr.obs, tr.next_obs]), noise
                 )
-                na = jnp.argmax(q_next_online, axis=-1)
+                q = q_both[:bs]
+                q_a = jnp.take_along_axis(q, tr.action[:, None], axis=-1)[:, 0]
+                # Double DQN: online-net argmax (argmax is int — no grad path)
+                na = jnp.argmax(q_both[bs:], axis=-1)
                 q_next_target = qnet_apply(st.target_b, tr.next_obs)
                 nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
                 y = tr.reward + cfg.gamma * nq * (1.0 - tr.done.astype(jnp.float32))

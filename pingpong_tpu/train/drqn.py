@@ -355,6 +355,8 @@ class DRQNLearner:
                 q, _ = qnet_rnn_apply(params, seq, hid, nz)
                 return q
 
+            bs = cfg.batch_size
+
             def loss_fn(params):
                 obs_seq = sample.obs
                 next_seq = sample.next_obs
@@ -375,13 +377,21 @@ class DRQNLearner:
                     obs_seq = obs_seq[:, burn:]
                     next_seq = next_seq[:, burn:]
 
-                q_last = forward(params, obs_seq, h0, noise)
+                if burn > 0:
+                    q_last = forward(params, obs_seq, h0, noise)
+                    q_next_online = forward(params, next_seq, h0_t, noise)
+                else:
+                    # fused (s-seq, s'-seq) forward: same params/noise, both
+                    # zero-hidden — halves the scanned LSTM launches
+                    both = forward(
+                        params,
+                        jnp.concatenate([obs_seq, next_seq]),
+                        self._zero_hidden(2 * bs),
+                        noise,
+                    )
+                    q_last, q_next_online = both[:bs], both[bs:]
                 a_last = sample.action[:, -1]
                 q_a = jnp.take_along_axis(q_last, a_last[:, None], axis=-1)[:, 0]
-
-                q_next_online = jax.lax.stop_gradient(
-                    forward(params, next_seq, h0_t, noise)
-                )
                 na = jnp.argmax(q_next_online, axis=-1)
                 q_next_target = forward(st.target_b, next_seq, h0_t, None)
                 nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]

@@ -48,6 +48,37 @@ class Renderer(abc.ABC):
         ...
 
 
+class CollisionEffects:
+    """Expanding-ring flash on paddle impacts — the lightweight analog of
+    the reference's effect system (pingpong_viewer/rendering/effects.py:
+    CollisionEffect/EffectManager). An impact is detected when the ball is
+    snapped exactly onto a paddle line (env/pong.py sets y to 0.0 / 1.0 on
+    a hit)."""
+
+    LIFETIME = 8
+
+    def __init__(self):
+        self.active = []  # (x_px, y_px, age)
+
+    def update(self, traj: Trajectory, t: int, size: int):
+        y = float(traj.ball_y[t])
+        if y == 0.0 or y == 1.0:
+            self.active.append(
+                [int(float(traj.ball_x[t]) * size), int(y * size), 0]
+            )
+        self.active = [
+            [x, y2, age + 1] for x, y2, age in self.active
+            if age + 1 <= self.LIFETIME
+        ]
+
+    def draw(self, d):
+        for x, y, age in self.active:
+            r = 10 + age * 3
+            fade = max(0, 255 - age * 30)
+            d.ellipse([x - r, y - r, x + r, y + r],
+                      outline=(fade, fade, 80), width=2)
+
+
 class FrameRenderer(Renderer):
     """Headless RGB frame rendering via PIL."""
 
@@ -55,6 +86,7 @@ class FrameRenderer(Renderer):
         from PIL import Image, ImageDraw  # noqa: F401  (import check)
 
         self.spin_angle = 0.0
+        self.effects = CollisionEffects()
 
     def render_frame(self, traj, t, paddle_width, size=400):
         from PIL import Image, ImageDraw
@@ -95,6 +127,9 @@ class FrameRenderer(Renderer):
                 fill=SPIN_CROSS,
                 width=2,
             )
+
+        self.effects.update(traj, t, size)
+        self.effects.draw(d)
 
         pw = int(paddle_width * size)
         tx = int(traj.top_paddle_x[t] * size)
