@@ -102,6 +102,11 @@ class DQNConfig:
     plot_dir: str = "plot"
 
     # ---- TPU scaling knobs (no reference equivalent) ----
+    # Fused Pallas actor-rollout kernel (ops/actor_rollout.py): whole
+    # rollout chunk in one kernel, env+weights resident in VMEM. Faster on
+    # real TPU; epsilon decays per chunk instead of per step (documented).
+    use_pallas_rollout: bool = False
+    pallas_tile_rows: int = 8
     num_envs: int = 4096            # lockstep env batch, sharded over 'data'
     rollout_length: int = 64        # env steps per jitted iteration
     updates_per_iteration: int = 64 # SGD steps per iteration; ref does 1 SGD

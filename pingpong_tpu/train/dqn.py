@@ -277,8 +277,63 @@ class DQNLearner:
             frame_idx=jnp.int32(0),
         )
 
+    # -- rollout (Pallas fused fast path) ----------------------------------
+    def _rollout_pallas(self, state: DQNTrainState, opp_stack: QNetParams,
+                        pool_size: Array):
+        """Whole rollout chunk as one Pallas kernel (config
+        ``use_pallas_rollout``). Fidelity note: epsilon decays once per
+        chunk by ``decay^episodes`` instead of per in-chunk step."""
+        from pingpong_tpu.ops.actor_rollout import (
+            pack_qnet,
+            pallas_actor_rollout,
+        )
+
+        cfg = self.cfg
+        key, k_seed = jax.random.split(state.key)
+        seed = jax.random.randint(k_seed, (), 0, jnp.int32(2**31 - 1))
+        (new_env, new_opp_idx, new_ep_ret, tr, stat_counts,
+         ret_sum) = pallas_actor_rollout(
+            self.env_params,
+            state.env_state,
+            state.opp_idx,
+            state.ep_return,
+            pack_qnet(state.params_b),
+            pack_qnet(opp_stack),
+            seed=seed,
+            epsilon=state.epsilon,
+            pool_size=pool_size,
+            steps=cfg.rollout_length,
+            pool_ratio=cfg.selfplay.opponent_pool_ratio,
+            max_episode_steps=self.env_cfg.max_episode_steps,
+            tile_rows=cfg.pallas_tile_rows,
+        )
+        flat = Transition(
+            obs=tr["obs"].reshape(-1, tr["obs"].shape[-1]),
+            action=tr["action"].reshape(-1),
+            reward=tr["reward"].reshape(-1),
+            next_obs=tr["next_obs"].reshape(-1, tr["next_obs"].shape[-1]),
+            done=tr["done"].reshape(-1),
+        )
+        n_done = stat_counts[0] + stat_counts[2]
+        epsilon = jnp.maximum(
+            jnp.float32(cfg.min_epsilon),
+            state.epsilon * cfg.epsilon_decay ** n_done.astype(jnp.float32),
+        )
+        state = state._replace(
+            key=key,
+            env_state=new_env,
+            opp_idx=new_opp_idx,
+            ep_return=new_ep_ret,
+            epsilon=epsilon,
+            episodes=state.episodes + n_done,
+            buffer=per_push(state.buffer, flat, cfg.per_alpha),
+        )
+        return state, stat_counts, ret_sum
+
     # -- rollout -----------------------------------------------------------
     def _rollout(self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array):
+        if self.cfg.use_pallas_rollout:
+            return self._rollout_pallas(state, opp_stack, pool_size)
         cfg = self.cfg
         env_params = self.env_params
         params_b = state.params_b  # closed over: scan must not carry the
