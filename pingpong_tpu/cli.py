@@ -49,7 +49,8 @@ def cmd_train(args) -> int:
 
     logger = MetricsLogger(log_path=f"{args.workdir}/train_qnet_metrics.jsonl")
     driver = QNetSelfPlay(
-        cfg.env, cfg.dqn, workdir=args.workdir, seed=cfg.seed, logger=logger
+        cfg.env, cfg.dqn, workdir=args.workdir, seed=cfg.seed, logger=logger,
+        mesh_cfg=cfg.mesh,
     )
     records = driver.run()
     promoted = sum(1 for r in records if r.promoted)
@@ -79,7 +80,8 @@ def cmd_train_rnn(args) -> int:
 
     logger = MetricsLogger(log_path=f"{args.workdir}/train_rnn_metrics.jsonl")
     driver = DRQNSelfPlay(
-        cfg.env, cfg.drqn, workdir=args.workdir, seed=cfg.seed, logger=logger
+        cfg.env, cfg.drqn, workdir=args.workdir, seed=cfg.seed, logger=logger,
+        mesh_cfg=cfg.mesh,
     )
     records = driver.run()
     promoted = sum(1 for r in records if r.promoted)

@@ -68,13 +68,23 @@ class QNetSelfPlay:
         workdir: str = ".",
         seed: int = 0,
         logger: Optional[MetricsLogger] = None,
+        mesh_cfg=None,
     ):
         self.env_cfg = env_cfg
         self.cfg = cfg
         self.workdir = Path(workdir)
         self.ckpt_dir = self.workdir / cfg.ckpt_dir
         self.logger = logger or MetricsLogger()
-        self.learner = DQNLearner(env_cfg, cfg)
+        # multi-chip: span every visible device with a data-axis mesh and
+        # shard the env batch / replay over it (SPMD via jit + shardings)
+        mesh = None
+        if mesh_cfg is not None and len(jax.devices()) > 1:
+            from pingpong_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(mesh_cfg)
+            self.logger.log({"event": "mesh", "devices": len(jax.devices()),
+                             "shape": dict(mesh.shape)})
+        self.learner = DQNLearner(env_cfg, cfg, mesh=mesh)
         self.key = jax.random.PRNGKey(seed)
 
         # ---- initial weights: warm start or random (ref :86-108)
@@ -95,8 +105,10 @@ class QNetSelfPlay:
 
         self.params_a = self.init_params
         self.key, k_state = jax.random.split(self.key)
-        self.state = self.learner.init_state(
-            k_state, self.init_params, epsilon=epsilon0, episodes=episodes0
+        self.state = self.learner.shard_state(
+            self.learner.init_state(
+                k_state, self.init_params, epsilon=epsilon0, episodes=episodes0
+            )
         )
 
         # ---- opponent pool, loaded once (ref :199-207; faults included)

@@ -58,13 +58,21 @@ class DRQNSelfPlay:
         workdir: str = ".",
         seed: int = 0,
         logger: Optional[MetricsLogger] = None,
+        mesh_cfg=None,
     ):
         self.env_cfg = env_cfg
         self.cfg = cfg
         self.workdir = Path(workdir)
         self.ckpt_dir = self.workdir / cfg.ckpt_dir_rnn
         self.logger = logger or MetricsLogger()
-        self.learner = DRQNLearner(env_cfg, cfg)
+        mesh = None
+        if mesh_cfg is not None and len(jax.devices()) > 1:
+            from pingpong_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(mesh_cfg)
+            self.logger.log({"event": "mesh", "devices": len(jax.devices()),
+                             "shape": dict(mesh.shape)})
+        self.learner = DRQNLearner(env_cfg, cfg, mesh=mesh)
         self.key = jax.random.PRNGKey(seed)
         self.env_params = env_params_from_config(env_cfg)
         self.match_fn = make_match_fn(
@@ -203,8 +211,8 @@ class DRQNSelfPlay:
         watch = Stopwatch()
         # exactly-sized stack: opponent compute/hidden memory scale with
         # slot count; pool growth costs one recompile per generation
-        self.state = self.learner.resize_opponent_slots(
-            self.state, 1 + len(self.pool)
+        self.state = self.learner.shard_state(
+            self.learner.resize_opponent_slots(self.state, 1 + len(self.pool))
         )
         opp, pool_size = stack_rnn_opponents(self.params_a, self.pool)
         pool_size = jnp.int32(pool_size)

@@ -125,6 +125,54 @@ class DRQNLearner:
         self._tx: Optional[optax.GradientTransformation] = None
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
 
+    def shard_state(self, state: "DRQNTrainState") -> "DRQNTrainState":
+        """Place the train state onto the mesh: per-env axes on ``data``
+        (env batch, ring buffer rows, hidden-state env dims), params and
+        counters replicated."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(tree, spec):
+            sh = NamedSharding(self.mesh, spec)
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), tree
+            )
+
+        d = self.data_axis
+        return state._replace(
+            key=put(state.key, P()),
+            params_b=put(state.params_b, P()),
+            target_b=put(state.target_b, P()),
+            opt_state=put(state.opt_state, P()),
+            buffer=state.buffer._replace(
+                obs=put(state.buffer.obs, P(d)),
+                action=put(state.buffer.action, P(d)),
+                reward=put(state.buffer.reward, P(d)),
+                next_obs=put(state.buffer.next_obs, P(d)),
+                done=put(state.buffer.done, P(d)),
+                ep_id=put(state.buffer.ep_id, P(d)),
+                cursor=put(state.buffer.cursor, P()),
+                ep_count=put(state.buffer.ep_count, P()),
+                cur_ep_id=put(state.buffer.cur_ep_id, P(d)),
+                cur_ep_len=put(state.buffer.cur_ep_len, P(d)),
+            ),
+            env_state=put(state.env_state, P(d)),
+            hid_b=Hidden(
+                h=put(state.hid_b.h, P(None, d)),
+                c=put(state.hid_b.c, P(None, d)),
+            ),
+            hid_opp=Hidden(
+                h=put(state.hid_opp.h, P(None, None, d)),
+                c=put(state.hid_opp.c, P(None, None, d)),
+            ),
+            opp_idx=put(state.opp_idx, P(d)),
+            ep_return=put(state.ep_return, P(d)),
+            epsilon=put(state.epsilon, P()),
+            train_steps=put(state.train_steps, P()),
+            episodes=put(state.episodes, P()),
+        )
+
     def init_params(self, key: Array) -> QNetRNNParams:
         c = self.cfg
         return qnet_rnn_init(
