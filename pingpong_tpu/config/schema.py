@@ -103,10 +103,14 @@ class DQNConfig:
 
     # ---- TPU scaling knobs (no reference equivalent) ----
     # Fused Pallas actor-rollout kernel (ops/actor_rollout.py): whole
-    # rollout chunk in one kernel, env+weights resident in VMEM. Faster on
-    # real TPU; epsilon decays per chunk instead of per step (documented).
+    # rollout chunk in one kernel, env+weights resident in VMEM.
+    # use_pallas_rollout (training path) currently runs under the Pallas
+    # interpreter only — Mosaic can't lower its per-step transition writes
+    # yet. use_pallas_eval (no-transitions mode) compiles on real TPU and
+    # streams ~20k+ eval episodes/s through the promotion gates.
     use_pallas_rollout: bool = False
-    pallas_tile_rows: int = 8
+    use_pallas_eval: bool = False
+    pallas_tile_rows: int = 512     # envs per kernel program
     num_envs: int = 4096            # lockstep env batch, sharded over 'data'
     rollout_length: int = 64        # env steps per jitted iteration
     updates_per_iteration: int = 64 # SGD steps per iteration; ref does 1 SGD

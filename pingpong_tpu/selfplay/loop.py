@@ -140,6 +140,25 @@ class QNetSelfPlay:
         """B (current learner) vs a uniform-per-game set of opponents."""
         if not params_a_list:
             return 1.0
+        if self.cfg.use_pallas_eval:
+            # fused-kernel episode streaming (>= n_games episodes); pool
+            # eval splits the quota evenly across members
+            from pingpong_tpu.evaluation.fast_eval import pallas_win_rate
+
+            per = max(1, n_games // len(params_a_list))
+            wins = 0.0
+            total = 0
+            for opp in params_a_list:
+                self.key, k = jax.random.split(self.key)
+                wr, eps = pallas_win_rate(
+                    self.env_params, opp, self.state.params_b, k,
+                    min_episodes=per,
+                    n_envs=min(self.cfg.num_envs, 8192),
+                    tile_rows=self.cfg.pallas_tile_rows,
+                )
+                wins += wr * eps
+                total += eps
+            return wins / max(total, 1)
         stack_a = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *params_a_list
         )

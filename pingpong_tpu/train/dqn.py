@@ -298,7 +298,7 @@ class DQNLearner:
             state.opp_idx,
             state.ep_return,
             pack_qnet(state.params_b),
-            pack_qnet(opp_stack),
+            pack_qnet(opp_stack, mirror=True),
             seed=seed,
             epsilon=state.epsilon,
             pool_size=pool_size,

@@ -33,10 +33,10 @@ def run_kernel(state, learner_p, opp_p, steps, epsilon=0.0, seed=5):
     stacked = jax.tree_util.tree_map(lambda x: x[None], opp_p)
     return pallas_actor_rollout(
         ENVP, state, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
-        pack_qnet(learner_p), pack_qnet(stacked),
+        pack_qnet(learner_p), pack_qnet(stacked, mirror=True),
         seed=jnp.int32(seed), epsilon=jnp.float32(epsilon),
         pool_size=jnp.int32(0), steps=steps, pool_ratio=0.0,
-        tile_rows=1, interpret=True,
+        tile_rows=B, interpret=True,
     )
 
 
@@ -103,7 +103,7 @@ def test_learner_integration_pallas_path():
         num_envs=B, rollout_length=16, updates_per_iteration=2,
         batch_size=32, memory_size=8192, pool_max=2,
         target_update_interval=8, use_pallas_rollout=True,
-        pallas_tile_rows=1,
+        pallas_tile_rows=B,
     )
     env_cfg = EnvConfig(max_episode_steps=500)
     learner = DQNLearner(env_cfg, cfg)
