@@ -8,13 +8,19 @@ serves, transition emission, and episode accounting — with env state and
 every network's weights resident in VMEM. The XLA scan path launches ~50
 small kernels per env step; this runs the whole chunk in one.
 
-TPU status: the **no-transitions mode** (``emit_transitions=False`` —
-evaluation streams, policy-rollout benchmarking) compiles through Mosaic
-and runs on real TPUs (~20k+ full episodes/s on one v5e). The training
-mode additionally emits per-step transitions, whose dynamic sublane writes
-Mosaic cannot lower yet — it runs under the Pallas interpreter only and
-the wrapper raises a clear error otherwise (round-2 item: slab-buffered
-aligned transition writes).
+TPU status: both modes compile through Mosaic and run on real v5e
+hardware. The **no-transitions mode** (``emit_transitions=False`` —
+evaluation streams, policy-rollout benchmarking) uses a single-program
+fori loop per env tile. The **training mode** additionally emits per-step
+transitions via the time-as-grid-dimension form (grid ``(env_tiles,
+steps/8)``, 8 statically-unrolled env steps per cell, ``(tile, 8, 8)``
+transition slabs — Mosaic's block rules forbid per-step dynamic sublane
+writes, which is why the slab form exists). At current tile sizes the
+training-mode kernel (~23M env-steps/s incl. transition emission,
+tile_rows=128) does not yet beat the tuned XLA rollout (~37M rollout-only)
+— the per-cell state read-back and slab DMA overhead dominates; ROADMAP
+item: larger tiles via bf16 slabs / more steps per cell. It remains
+opt-in (``dqn.use_pallas_rollout``).
 
 Layout (Mosaic-friendly): envs are ROWS. The float state lives in one
 ``(tile_envs, 16)`` matrix ``F`` whose first 8 columns ARE player B's
@@ -143,6 +149,190 @@ def _advantage(obs8, w1, b1, w2, b2, wa, ba):
     return jnp.dot(h, wa, preferred_element_type=jnp.float32) + ba
 
 
+
+def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
+              lw, opp_refs, F, I, ctr):
+    """One env step on the (tile, cols) state matrices. Returns
+    (F_new, I_new, srow, emit) where emit = (obs8, next8, act_b, reward,
+    done_i32)."""
+    n = F.shape[0]
+    col_shape = (n, 1)
+
+    def col_f(M, c):
+        return M[:, c:c + 1]
+
+    obs8 = F[:, 0:8]
+
+    # ---- opponent action (mirror folded into weights)
+    act_a = jnp.zeros(col_shape, jnp.int32)
+    opp_idx = I[:, IOPP:IOPP + 1]
+    for k in range(n_members):
+        ow = [r[k] for r in opp_refs]
+        adv_k = _advantage(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
+        a_k = jnp.argmax(adv_k, axis=-1, keepdims=True).astype(jnp.int32)
+        act_a = jnp.where(opp_idx == k, a_k, act_a)
+
+    # ---- learner action: factorized noise + epsilon-greedy
+    eps_in = _scale_noise(_normal((64, 1), uniform, seed_mix, ctr, 1))
+    eps_out = _scale_noise(_normal((1, 8), uniform, seed_mix, ctr, 3))
+    wa_eff = lw[4] + lw[6] * jnp.dot(
+        eps_in, eps_out, preferred_element_type=jnp.float32
+    )
+    ba_eff = lw[5] + lw[7] * eps_out
+    ba_eff = jnp.where(ba_eff < NEG_BIG * 0.5, NEG_BIG, ba_eff)
+    adv_b = _advantage(obs8, lw[0], lw[1], lw[2], lw[3], wa_eff, ba_eff)
+    greedy_b = jnp.argmax(adv_b, axis=-1, keepdims=True).astype(jnp.int32)
+    u_expl = uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 5)
+    rand_a = uniform(col_shape, 0.0, 3.0, seed_mix, ctr, 6).astype(jnp.int32)
+    act_b = jnp.where(u_expl < epsilon, jnp.clip(rand_a, 0, 2), greedy_b)
+
+    # ---- env transition via the shared pure step
+    state = EnvState(
+        ball_x=col_f(F, FX), ball_y=col_f(F, FY),
+        ball_vx=col_f(F, FVX), ball_vy=col_f(F, FVY),
+        spin=col_f(F, FSPIN),
+        top_paddle_x=col_f(F, FTOP), bottom_paddle_x=col_f(F, FBOT),
+        score_a=I[:, ISA:ISA + 1], score_b=I[:, ISB:ISB + 1],
+        bounce_count=I[:, IBOUNCE:IBOUNCE + 1], t=I[:, IT:IT + 1],
+        done=jnp.zeros(col_shape, jnp.bool_),
+    )
+    new, out = step(params, state, act_a, act_b)
+    done = out.done | (new.t >= cfg["max_episode_steps"]) \
+        if cfg["max_episode_steps"] else out.done
+
+    next8 = jnp.concatenate(
+        [new.ball_x, new.ball_y, new.ball_vx, new.ball_vy,
+         new.bottom_paddle_x, new.top_paddle_x, new.spin,
+         jnp.zeros(col_shape, jnp.float32)], axis=1,
+    )
+
+    # ---- accounting
+    ep_ret = col_f(F, FRET) + out.reward_b
+    win = (ep_ret > 0.0) & done
+    vs_pool = opp_idx > 0
+    d_f = done.astype(jnp.float32)
+    w_f = win.astype(jnp.float32)
+    p_f = vs_pool.astype(jnp.float32)
+    srow = jnp.concatenate(
+        [d_f * (1 - p_f), w_f * (1 - p_f), d_f * p_f, w_f * p_f,
+         jnp.where(done, ep_ret, 0.0),
+         jnp.zeros((n, 3), jnp.float32)], axis=1,
+    )
+
+    # ---- auto-reset + opponent re-bind
+    svx, svy, ssp = _serve_fields(params, col_shape, uniform, seed_mix,
+                                  ctr + 8)
+    use_pool = (
+        uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 13) < cfg["pool_ratio"]
+    ) & (pool_size > 0)
+    u_pick = uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 14)
+    pick = jnp.clip(
+        (u_pick * pool_size.astype(jnp.float32)).astype(jnp.int32),
+        0, jnp.maximum(pool_size - 1, 0),
+    )
+    new_opp = jnp.where(use_pool, pick + 1, 0)
+
+    f_cols = [
+        jnp.where(done, 0.5, new.ball_x),
+        jnp.where(done, 0.5, new.ball_y),
+        jnp.where(done, svx, new.ball_vx),
+        jnp.where(done, svy, new.ball_vy),
+        jnp.where(done, 0.5, new.bottom_paddle_x),
+        jnp.where(done, 0.5, new.top_paddle_x),
+        jnp.where(done, ssp, new.spin),
+        jnp.zeros(col_shape, jnp.float32),
+        jnp.where(done, 0.0, ep_ret),
+    ]
+    F_new = jnp.concatenate(
+        f_cols + [jnp.zeros((n, F_COLS - len(f_cols)), jnp.float32)],
+        axis=1,
+    )
+    zero_i = jnp.zeros(col_shape, jnp.int32)
+    i_cols = [
+        jnp.where(done, zero_i, new.score_a),
+        jnp.where(done, zero_i, new.score_b),
+        jnp.where(done, zero_i, new.bounce_count),
+        jnp.where(done, zero_i, new.t),
+        jnp.where(done, new_opp, opp_idx),
+    ]
+    I_new = jnp.concatenate(
+        i_cols + [jnp.zeros((n, I_COLS - len(i_cols)), jnp.int32)],
+        axis=1,
+    )
+    emit = (obs8, next8, act_b, out.reward_b, done.astype(jnp.int32))
+    return F_new, I_new, srow, emit
+
+
+def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
+                       use_tpu_prng: bool, scalar_ref, *refs):
+    """Time-as-grid-dimension variant: grid (env_tiles, steps // 8), with
+    8 env steps statically unrolled per grid cell. The state/stats blocks
+    are revisited across the t axis (Mosaic keeps them VMEM-resident);
+    every transition block is a (tile, 8, 8) slab written with static row
+    indices — which is what lets the training-mode kernel (with
+    transition emission) satisfy Mosaic's block/tiling rules."""
+    i = 0
+    f_ref = refs[i]; i += 1
+    i_ref = refs[i]; i += 1
+    learner_refs = refs[i:i + 8]; i += 8
+    opp_refs = refs[i:i + 8]; i += 8
+    out_f_ref = refs[i]; i += 1
+    out_i_ref = refs[i]; i += 1
+    tr_obs_ref = refs[i]; i += 1     # block (tile, 8, 8) at (i, tb, 0)
+    tr_next_ref = refs[i]; i += 1
+    tr_act_ref = refs[i]; i += 1     # same slab layout, value in lane 0
+    tr_rew_ref = refs[i]; i += 1
+    tr_done_ref = refs[i]; i += 1
+    stats_ref = refs[i]; i += 1
+
+    tb = pl.program_id(1)
+    if use_tpu_prng:
+        # hardware seed takes at most 2 values: fold (tile, t-block) into one
+        pltpu.prng_seed(
+            scalar_ref[0], pl.program_id(0) * pl.num_programs(1) + tb
+        )
+        uniform = _tpu_uniform
+        seed_mix = jnp.uint32(0)
+    else:
+        uniform = _hash_uniform
+        seed_mix = (
+            scalar_ref[0].astype(jnp.uint32)
+            ^ (pl.program_id(0).astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (tb.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        )
+    epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
+    pool_size = scalar_ref[2]
+
+    @pl.when(tb == 0)
+    def _():
+        out_f_ref[:] = f_ref[:]
+        out_i_ref[:] = i_ref[:]
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    lw = [r[:] for r in learner_refs]
+    F = out_f_ref[:]
+    I = out_i_ref[:]
+    stats = stats_ref[:]
+    n = F.shape[0]
+    pad7f = jnp.zeros((n, 7), jnp.float32)
+    pad7i = jnp.zeros((n, 7), jnp.int32)
+    for j in range(8):
+        F, I, srow, emit = _one_step(
+            params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
+            lw, opp_refs, F, I, jnp.int32(j * 16),
+        )
+        obs8, next8, act_b, reward_b, done_i = emit
+        stats = stats + srow
+        tr_obs_ref[:, j, :] = obs8
+        tr_next_ref[:, j, :] = next8
+        tr_act_ref[:, j, :] = jnp.concatenate([act_b, pad7i], axis=1)
+        tr_rew_ref[:, j, :] = jnp.concatenate([reward_b, pad7f], axis=1)
+        tr_done_ref[:, j, :] = jnp.concatenate([done_i, pad7i], axis=1)
+    out_f_ref[:] = F
+    out_i_ref[:] = I
+    stats_ref[:] = stats
+
+
 def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
                   scalar_ref, *refs):
     steps = cfg["steps"]
@@ -173,129 +363,24 @@ def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     pool_size = scalar_ref[2]
-
     lw = [r[:] for r in learner_refs]
-    n = f_ref.shape[0]
-    col_shape = (n, 1)
-
-    def col_f(F, c):
-        return F[:, c:c + 1]
-
-    def col_i(I, c):
-        return I[:, c:c + 1]
 
     def body(t, carry):
         F, I, stats = carry
-        ctr = t * jnp.int32(16)
-        obs8 = F[:, 0:8]
-
-        # ---- opponent action (mirror folded into weights)
-        act_a = jnp.zeros(col_shape, jnp.int32)
-        opp_idx = col_i(I, IOPP)
-        for k in range(n_members):
-            ow = [r[k] for r in opp_refs]
-            adv_k = _advantage(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
-            a_k = jnp.argmax(adv_k, axis=-1, keepdims=True).astype(jnp.int32)
-            act_a = jnp.where(opp_idx == k, a_k, act_a)
-
-        # ---- learner action: factorized noise + epsilon-greedy
-        eps_in = _scale_noise(_normal((64, 1), uniform, seed_mix, ctr, 1))
-        eps_out = _scale_noise(_normal((1, 8), uniform, seed_mix, ctr, 3))
-        wa_eff = lw[4] + lw[6] * jnp.dot(
-            eps_in, eps_out, preferred_element_type=jnp.float32
+        F2, I2, srow, emit = _one_step(
+            params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
+            lw, opp_refs, F, I, t * jnp.int32(16),
         )
-        ba_eff = lw[5] + lw[7] * eps_out
-        ba_eff = jnp.where(ba_eff < NEG_BIG * 0.5, NEG_BIG, ba_eff)
-        adv_b = _advantage(obs8, lw[0], lw[1], lw[2], lw[3], wa_eff, ba_eff)
-        greedy_b = jnp.argmax(adv_b, axis=-1, keepdims=True).astype(jnp.int32)
-        u_expl = uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 5)
-        rand_a = uniform(col_shape, 0.0, 3.0, seed_mix, ctr, 6).astype(jnp.int32)
-        act_b = jnp.where(u_expl < epsilon, jnp.clip(rand_a, 0, 2), greedy_b)
-
-        # ---- env transition via the shared pure step
-        state = EnvState(
-            ball_x=col_f(F, FX), ball_y=col_f(F, FY),
-            ball_vx=col_f(F, FVX), ball_vy=col_f(F, FVY),
-            spin=col_f(F, FSPIN),
-            top_paddle_x=col_f(F, FTOP), bottom_paddle_x=col_f(F, FBOT),
-            score_a=col_i(I, ISA), score_b=col_i(I, ISB),
-            bounce_count=col_i(I, IBOUNCE), t=col_i(I, IT),
-            done=jnp.zeros(col_shape, jnp.bool_),
-        )
-        new, out = step(params, state, act_a, act_b)
-        done = out.done | (new.t >= cfg["max_episode_steps"]) \
-            if cfg["max_episode_steps"] else out.done
-
-        # ---- transitions (env-major: column t of (tile, steps) blocks)
         if cfg["emit_transitions"]:
+            obs8, next8, act_b, reward_b, done_i = emit
             tr_obs_ref[:, pl.ds(t, 1), :] = obs8[:, None, :]
-            next8 = jnp.concatenate(
-                [new.ball_x, new.ball_y, new.ball_vx, new.ball_vy,
-                 new.bottom_paddle_x, new.top_paddle_x, new.spin,
-                 jnp.zeros(col_shape, jnp.float32)], axis=1,
-            )
             tr_next_ref[:, pl.ds(t, 1), :] = next8[:, None, :]
             tr_act_ref[:, pl.ds(t, 1)] = act_b
-            tr_rew_ref[:, pl.ds(t, 1)] = out.reward_b
-            tr_done_ref[:, pl.ds(t, 1)] = done.astype(jnp.int32)
+            tr_rew_ref[:, pl.ds(t, 1)] = reward_b
+            tr_done_ref[:, pl.ds(t, 1)] = done_i
+        return F2, I2, stats + srow
 
-        # ---- accounting
-        ep_ret = col_f(F, FRET) + out.reward_b
-        win = (ep_ret > 0.0) & done
-        vs_pool = opp_idx > 0
-        d_f = done.astype(jnp.float32)
-        w_f = win.astype(jnp.float32)
-        p_f = vs_pool.astype(jnp.float32)
-        srow = jnp.concatenate(
-            [d_f * (1 - p_f), w_f * (1 - p_f), d_f * p_f, w_f * p_f,
-             jnp.where(done, ep_ret, 0.0),
-             jnp.zeros((n, 3), jnp.float32)], axis=1,
-        )
-        stats = stats + srow
-
-        # ---- auto-reset + opponent re-bind
-        svx, svy, ssp = _serve_fields(params, col_shape, uniform, seed_mix,
-                                      ctr + 8)
-        use_pool = (
-            uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 13)
-            < cfg["pool_ratio"]
-        ) & (pool_size > 0)
-        u_pick = uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 14)
-        pick = jnp.clip(
-            (u_pick * pool_size.astype(jnp.float32)).astype(jnp.int32),
-            0, jnp.maximum(pool_size - 1, 0),
-        )
-        new_opp = jnp.where(use_pool, pick + 1, 0)
-
-        f_cols = [
-            jnp.where(done, 0.5, new.ball_x),
-            jnp.where(done, 0.5, new.ball_y),
-            jnp.where(done, svx, new.ball_vx),
-            jnp.where(done, svy, new.ball_vy),
-            jnp.where(done, 0.5, new.bottom_paddle_x),
-            jnp.where(done, 0.5, new.top_paddle_x),
-            jnp.where(done, ssp, new.spin),
-            jnp.zeros(col_shape, jnp.float32),
-            jnp.where(done, 0.0, ep_ret),
-        ]
-        F_new = jnp.concatenate(
-            f_cols + [jnp.zeros((n, F_COLS - len(f_cols)), jnp.float32)],
-            axis=1,
-        )
-        zero_i = jnp.zeros(col_shape, jnp.int32)
-        i_cols = [
-            jnp.where(done, zero_i, new.score_a),
-            jnp.where(done, zero_i, new.score_b),
-            jnp.where(done, zero_i, new.bounce_count),
-            jnp.where(done, zero_i, new.t),
-            jnp.where(done, new_opp, opp_idx),
-        ]
-        I_new = jnp.concatenate(
-            i_cols + [jnp.zeros((n, I_COLS - len(i_cols)), jnp.int32)],
-            axis=1,
-        )
-        return F_new, I_new, stats
-
+    n = f_ref.shape[0]
     stats0 = jnp.zeros((n, 8), jnp.float32)
     F_fin, I_fin, stats_fin = jax.lax.fori_loop(
         0, steps, body, (f_ref[:], i_ref[:], stats0)
@@ -327,16 +412,6 @@ def pallas_actor_rollout(
     stat_counts, ret_sum). transitions dict arrays are (T, B[, 7])."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if emit_transitions and not interpret:
-        # Mosaic cannot yet lower the per-step dynamic sublane writes the
-        # transition emission needs ("index in dimension 1 must be a
-        # multiple of 128"); the no-transitions mode (fast eval / bench)
-        # compiles and runs. Track: round-2 item.
-        raise NotImplementedError(
-            "pallas_actor_rollout with emit_transitions=True only runs in "
-            "interpret mode for now; use the XLA rollout for training on "
-            "TPU, or emit_transitions=False for evaluation streams"
-        )
     params = _static_params(env_params)
     B = state.ball_x.shape[0]
     if B % tile_rows:
@@ -366,45 +441,84 @@ def pallas_actor_rollout(
     )
 
     f32, i32 = jnp.float32, jnp.int32
-    row_block = lambda cols: pl.BlockSpec(
-        (tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    t_block = lambda cols: pl.BlockSpec(
-        (tile_rows, steps) + (() if cols is None else (cols,)),
-        (lambda i: (i, 0)) if cols is None else (lambda i: (i, 0, 0)),
-        memory_space=pltpu.VMEM,
-    )
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     sds = jax.ShapeDtypeStruct
+    cfg = {"steps": steps, "pool_ratio": float(pool_ratio),
+           "max_episode_steps": int(max_episode_steps),
+           "emit_transitions": bool(emit_transitions)}
 
-    in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [row_block(F_COLS), row_block(I_COLS)]
-        + [full()] * 16
-    )
-    if emit_transitions:
+    if emit_transitions and not interpret:
+        # time-as-grid-dimension variant: 8 env steps per cell, state
+        # blocks revisited over the t axis, (tile, 8, 8) transition slabs.
+        # (Interpret mode keeps the single-program fori variant below: the
+        # interpreter re-executes the kernel per grid cell, which makes
+        # the grid form pathologically slow on CPU.)
+        if steps % 8:
+            raise ValueError(f"steps ({steps}) must be a multiple of 8")
+        grid = (B // tile_rows, steps // 8)
+        rb = lambda cols: pl.BlockSpec(
+            (tile_rows, cols), lambda i, t: (i, 0), memory_space=pltpu.VMEM
+        )
+        slab = pl.BlockSpec((tile_rows, 8, 8), lambda i, t: (i, t, 0),
+                            memory_space=pltpu.VMEM)
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [rb(F_COLS), rb(I_COLS)]
+            + [full()] * 16
+        )
         out_specs = [
-            row_block(F_COLS), row_block(I_COLS),
-            t_block(8), t_block(8), t_block(None), t_block(None),
-            t_block(None), row_block(8),
+            rb(F_COLS), rb(I_COLS),
+            slab, slab, slab, slab, slab,
+            rb(8),
         ]
         out_shape = [
             sds((B, F_COLS), f32), sds((B, I_COLS), i32),
             sds((B, steps, 8), f32), sds((B, steps, 8), f32),
-            sds((B, steps), i32), sds((B, steps), f32), sds((B, steps), i32),
+            sds((B, steps, 8), i32), sds((B, steps, 8), f32),
+            sds((B, steps, 8), i32),
             sds((B, 8), f32),
         ]
+        kernel = functools.partial(
+            _actor_kernel_grid, params, cfg, n_members, not interpret
+        )
+        slab_transitions = True
     else:
-        out_specs = [row_block(F_COLS), row_block(I_COLS), row_block(8)]
-        out_shape = [
-            sds((B, F_COLS), f32), sds((B, I_COLS), i32), sds((B, 8), f32),
-        ]
-    cfg = {"steps": steps, "pool_ratio": float(pool_ratio),
-           "max_episode_steps": int(max_episode_steps),
-           "emit_transitions": bool(emit_transitions)}
-    kernel = functools.partial(
-        _actor_kernel, params, cfg, n_members, not interpret
-    )
+        grid = (B // tile_rows,)
+        row_block = lambda cols: pl.BlockSpec(
+            (tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        t_block3 = pl.BlockSpec((tile_rows, steps, 8), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        t_block2 = pl.BlockSpec((tile_rows, steps), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [row_block(F_COLS), row_block(I_COLS)]
+            + [full()] * 16
+        )
+        if emit_transitions:
+            out_specs = [
+                row_block(F_COLS), row_block(I_COLS),
+                t_block3, t_block3, t_block2, t_block2, t_block2,
+                row_block(8),
+            ]
+            out_shape = [
+                sds((B, F_COLS), f32), sds((B, I_COLS), i32),
+                sds((B, steps, 8), f32), sds((B, steps, 8), f32),
+                sds((B, steps), i32), sds((B, steps), f32),
+                sds((B, steps), i32),
+                sds((B, 8), f32),
+            ]
+        else:
+            out_specs = [row_block(F_COLS), row_block(I_COLS), row_block(8)]
+            out_shape = [
+                sds((B, F_COLS), f32), sds((B, I_COLS), i32), sds((B, 8), f32),
+            ]
+        kernel = functools.partial(
+            _actor_kernel, params, cfg, n_members, not interpret
+        )
+        slab_transitions = False
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -428,12 +542,17 @@ def pallas_actor_rollout(
         done=jnp.zeros((B,), jnp.bool_),
     )
     if emit_transitions:
+        if slab_transitions:
+            action, reward, done = (tr_act[..., 0], tr_rew[..., 0],
+                                    tr_done[..., 0])
+        else:
+            action, reward, done = tr_act, tr_rew, tr_done
         transitions = {
             "obs": jnp.swapaxes(tr_obs[..., :7], 0, 1),    # (T, B, 7)
-            "action": tr_act.T,
-            "reward": tr_rew.T,
+            "action": action.T,
+            "reward": reward.T,
             "next_obs": jnp.swapaxes(tr_next[..., :7], 0, 1),
-            "done": tr_done.T.astype(bool),
+            "done": done.T.astype(bool),
         }
     else:
         transitions = None

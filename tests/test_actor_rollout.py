@@ -44,7 +44,7 @@ def test_matches_xla_greedy_before_resets():
     learner_p = zero_sigma(qnet_init(jax.random.PRNGKey(0)))
     opp_p = qnet_init(jax.random.PRNGKey(1))
     state0 = batch_state(jax.random.PRNGKey(2))
-    steps = 25
+    steps = 24
     _, _, _, tr, _, _ = run_kernel(state0, learner_p, opp_p, steps)
 
     # XLA comparator: greedy mu actions both sides (sigma=0, eps=0)
@@ -73,7 +73,7 @@ def test_stats_consistency():
     opp_p = qnet_init(jax.random.PRNGKey(1))
     state0 = batch_state(jax.random.PRNGKey(3))
     _, _, _, tr, stats, ret_sum = run_kernel(
-        state0, learner_p, opp_p, steps=200, epsilon=0.1
+        state0, learner_p, opp_p, steps=96, epsilon=0.1
     )
     dones = int(np.asarray(tr["done"]).sum())
     assert int(stats[0] + stats[2]) == dones
@@ -91,7 +91,7 @@ def test_epsilon_one_gives_uniformish_actions():
     learner_p = qnet_init(jax.random.PRNGKey(0))
     opp_p = qnet_init(jax.random.PRNGKey(1))
     state0 = batch_state(jax.random.PRNGKey(4))
-    _, _, _, tr, _, _ = run_kernel(state0, learner_p, opp_p, steps=30,
+    _, _, _, tr, _, _ = run_kernel(state0, learner_p, opp_p, steps=32,
                                    epsilon=1.0)
     counts = np.bincount(np.asarray(tr["action"]).reshape(-1), minlength=3)
     frac = counts / counts.sum()
