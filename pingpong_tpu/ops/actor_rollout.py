@@ -316,7 +316,7 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
     n = F.shape[0]
     pad7f = jnp.zeros((n, 7), jnp.float32)
     pad7i = jnp.zeros((n, 7), jnp.int32)
-    for j in range(8):
+    for j in range(cfg["steps_per_cell"]):
         F, I, srow, emit = _one_step(
             params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
             lw, opp_refs, F, I, jnp.int32(j * 16),
@@ -407,6 +407,8 @@ def pallas_actor_rollout(
     tile_rows: int = 512,       # envs per kernel program
     interpret: bool = None,
     emit_transitions: bool = True,
+    steps_per_cell: int = 8,    # grid-variant inner unroll (multiple of 8);
+                                # 8 is the TPU-validated config
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, transitions,
     stat_counts, ret_sum). transitions dict arrays are (T, B[, 7])."""
@@ -444,7 +446,8 @@ def pallas_actor_rollout(
     sds = jax.ShapeDtypeStruct
     cfg = {"steps": steps, "pool_ratio": float(pool_ratio),
            "max_episode_steps": int(max_episode_steps),
-           "emit_transitions": bool(emit_transitions)}
+           "emit_transitions": bool(emit_transitions),
+           "steps_per_cell": int(steps_per_cell)}
 
     if emit_transitions and not interpret:
         # time-as-grid-dimension variant: 8 env steps per cell, state
@@ -452,13 +455,14 @@ def pallas_actor_rollout(
         # (Interpret mode keeps the single-program fori variant below: the
         # interpreter re-executes the kernel per grid cell, which makes
         # the grid form pathologically slow on CPU.)
-        if steps % 8:
-            raise ValueError(f"steps ({steps}) must be a multiple of 8")
-        grid = (B // tile_rows, steps // 8)
+        spc = steps_per_cell
+        if steps % spc:
+            raise ValueError(f"steps ({steps}) must be a multiple of {spc}")
+        grid = (B // tile_rows, steps // spc)
         rb = lambda cols: pl.BlockSpec(
             (tile_rows, cols), lambda i, t: (i, 0), memory_space=pltpu.VMEM
         )
-        slab = pl.BlockSpec((tile_rows, 8, 8), lambda i, t: (i, t, 0),
+        slab = pl.BlockSpec((tile_rows, spc, 8), lambda i, t: (i, t, 0),
                             memory_space=pltpu.VMEM)
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         in_specs = (
