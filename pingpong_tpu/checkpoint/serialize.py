@@ -10,7 +10,6 @@ with explicit versioned schemas instead.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

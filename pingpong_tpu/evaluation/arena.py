@@ -35,7 +35,6 @@ import numpy as np
 
 from pingpong_tpu.env.pong import env_params_from_config
 from pingpong_tpu.evaluation.registry import (
-    BOT_ID,
     MatchRunner,
     ModelEntry,
     discover_models,

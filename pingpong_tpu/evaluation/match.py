@@ -22,7 +22,6 @@ side's stack, so mixed pools (A vs many opponents) run in one batch.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -36,10 +35,9 @@ from pingpong_tpu.env.pong import (
     step,
 )
 from pingpong_tpu.models.policy import ball_follower_action
-from pingpong_tpu.models.qnet import QNetParams, qnet_apply
+from pingpong_tpu.models.qnet import qnet_apply
 from pingpong_tpu.models.qnet_rnn import (
     Hidden,
-    QNetRNNParams,
     init_hidden,
     qnet_rnn_step,
 )

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from pingpong_tpu.checkpoint.store import is_checkpoint, list_checkpoints
+from pingpong_tpu.checkpoint.store import list_checkpoints
 from pingpong_tpu.evaluation.match import BOT, QNET, RNN, PolicySpec, make_match_fn
 from pingpong_tpu.selfplay.pool import load_params_any
 

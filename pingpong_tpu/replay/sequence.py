@@ -33,7 +33,7 @@ the next episode (train_rnn_iterative.py:113-116 never fires without
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

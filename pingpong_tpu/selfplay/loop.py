@@ -25,13 +25,11 @@ one jitted while-loop over all eval games at once
 from __future__ import annotations
 
 import dataclasses
-import time
 from pathlib import Path
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pingpong_tpu.checkpoint.serialize import qnet_to_dict
 from pingpong_tpu.checkpoint.store import save_checkpoint

@@ -26,7 +26,6 @@ Host-side control flow mirroring
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import List, Optional
 

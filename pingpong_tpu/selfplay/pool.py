@@ -12,7 +12,6 @@ Reference behavior being reproduced:
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import List, Optional
 
 from pingpong_tpu.checkpoint.store import list_checkpoints, load_checkpoint

@@ -32,7 +32,7 @@ a function of an explicit PRNG key, not checkpoint state.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -38,7 +38,6 @@ not copy; mu-greedy is the NoisyNet-standard frozen policy.)
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax

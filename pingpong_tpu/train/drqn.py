@@ -50,7 +50,6 @@ from pingpong_tpu.models.policy import epsilon_greedy
 from pingpong_tpu.models.qnet_rnn import (
     Hidden,
     QNetRNNParams,
-    init_hidden,
     qnet_rnn_apply,
     qnet_rnn_init,
     qnet_rnn_sample_noise,

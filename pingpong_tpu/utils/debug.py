@@ -10,8 +10,6 @@ diverge).
 from __future__ import annotations
 
 import contextlib
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ UI never blocks the accelerator.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

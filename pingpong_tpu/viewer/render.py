@@ -18,7 +18,7 @@ from __future__ import annotations
 import abc
 import math
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
