@@ -31,19 +31,33 @@ def _checkpointer():
 
 
 def save_train_state(path, state: Any, metadata: Optional[dict] = None) -> str:
-    """Save a full train-state pytree (+ JSON-able metadata) via Orbax."""
+    """Save a full train-state pytree (+ JSON-able metadata) via Orbax.
+
+    Atomic in the same keep-one-valid-copy sense as
+    :func:`pingpong_tpu.checkpoint.store.save_checkpoint`: the tree is
+    written to ``<name>.tmp-<pid>``, the previous checkpoint is parked at
+    ``<name>.old`` while the new one swaps in, then dropped."""
     import json
+    import os
+    import shutil
 
     path = Path(path).resolve()
-    if path.exists():
-        import shutil
-
-        shutil.rmtree(path)
+    tmp = path.with_name(path.name + f".tmp-{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     leaves = jax.tree_util.tree_leaves(state)
-    _checkpointer().save(path, leaves)
+    _checkpointer().save(tmp, leaves)
     if metadata is not None:
-        with open(path / "framework_meta.json", "w") as f:
+        with open(tmp / "framework_meta.json", "w") as f:
             json.dump(metadata, f)
+    old = path.with_name(path.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if path.exists():
+        os.replace(path, old)
+    os.replace(tmp, path)
+    if old.exists():
+        shutil.rmtree(old)
     return str(path)
 
 
@@ -75,3 +89,24 @@ def is_train_state_checkpoint(path) -> bool:
     return (Path(path) / "framework_meta.json").is_file() or (
         Path(path).is_dir() and any(Path(path).iterdir())
     )
+
+
+def autosave_full_state(path, state: Any, params_a: Any, host_key,
+                        metadata: dict) -> str:
+    """One-call full autosave for the self-play loops: the ENTIRE train
+    state (replay buffer included), the frozen opponent A, and the host
+    PRNG key — everything needed for bit-compatible continuation after a
+    crash (vs the reference's weights-only autosave,
+    /root/reference/scripts/train_rnn_iterative.py:630-667)."""
+    return save_train_state(path, (state, params_a, host_key), metadata)
+
+
+def restore_full_state(path, template_state: Any, template_params: Any,
+                       template_key):
+    """Restore an :func:`autosave_full_state` checkpoint. Returns
+    ``(state, params_a, host_key, metadata)``; raises on shape/tree
+    mismatch (callers fall through to the next restore tier)."""
+    state, params_a, host_key = restore_train_state(
+        path, (template_state, template_params, template_key)
+    )
+    return state, params_a, host_key, (load_metadata(path) or {})

@@ -84,9 +84,18 @@ def save_checkpoint(path: os.PathLike, payload: Dict[str, Any]) -> Path:
     np.savez(tmp / "arrays.npz", **arrays)
     with open(tmp / "meta.json", "w") as f:
         json.dump({"schema_version": SCHEMA_VERSION, "tree": meta}, f)
+    # Keep one valid checkpoint on disk at all times: move the old one
+    # aside atomically, swap the new one in, then drop the old copy. A
+    # crash between the two replaces leaves either <name> or <name>.old
+    # intact (load falls back via the caller's restore tiers).
+    old = path.with_name(path.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
     if path.exists():
-        shutil.rmtree(path)
+        os.replace(path, old)
     os.replace(tmp, path)
+    if old.exists():
+        shutil.rmtree(old)
     return path
 
 

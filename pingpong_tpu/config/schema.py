@@ -68,6 +68,9 @@ class SelfPlayConfig:
     curr_win_threshold: float = 0.61
     pool_win_threshold: float = 0.61
     opponent_pool_ratio: float = 0.33
+    # Parity-only knob: present (and equally unused) in the reference
+    # (/root/reference/config.yaml:28 — nothing reads it). Kept so reference
+    # YAML files load unchanged; no code consumes it.
     min_pool_generation: int = 2
     win_rate_interval: int = 400
 
@@ -100,14 +103,20 @@ class DQNConfig:
     init_model_path: Optional[str] = None
     ckpt_dir: str = "checkpoints"
     plot_dir: str = "plot"
+    # Full-train-state autosave (PER buffer included) every N train steps,
+    # restored as tier 0 on startup for mid-generation crash resume. The
+    # reference QNet trainer has no such autosave (only the RNN one does,
+    # train_rnn_iterative.py:630-667); 0 disables.
+    save_latest_checkpoint_interval_steps: int = 10_000
+    latest_checkpoint_filename: str = "latest_qnet_training_state"
 
     # ---- TPU scaling knobs (no reference equivalent) ----
     # Fused Pallas actor-rollout kernel (ops/actor_rollout.py): whole
-    # rollout chunk in one kernel, env+weights resident in VMEM.
-    # use_pallas_rollout (training path) currently runs under the Pallas
-    # interpreter only — Mosaic can't lower its per-step transition writes
-    # yet. use_pallas_eval (no-transitions mode) compiles on real TPU and
-    # streams ~20k+ eval episodes/s through the promotion gates.
+    # rollout chunk in one kernel, env state + weights resident in VMEM.
+    # Both modes compile and run on real TPU (Mosaic): use_pallas_rollout
+    # is the training path (emits transition slabs), use_pallas_eval the
+    # no-transitions mode that streams eval episodes through promotion
+    # gates.
     use_pallas_rollout: bool = False
     use_pallas_eval: bool = False
     pallas_tile_rows: int = 512     # envs per kernel program

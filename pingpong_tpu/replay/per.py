@@ -121,6 +121,18 @@ def _refresh_chunks(
     return chunk_sums, chunk_max
 
 
+def _write_fields(buf: PERBuffer, put, prio_src, pa_src, batch: Transition):
+    return (
+        put(buf.obs, batch.obs),
+        put(buf.action, batch.action),
+        put(buf.reward, batch.reward),
+        put(buf.next_obs, batch.next_obs),
+        put(buf.done, batch.done),
+        put(buf.prios, prio_src),
+        put(buf.p_alpha, pa_src),
+    )
+
+
 def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
     """Append M transitions at the ring cursor with max-priority stamps.
 
@@ -133,25 +145,35 @@ def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
     cap = buf.prios.shape[0]
     max_p = jnp.where(buf.size > 0, jnp.max(buf.chunk_max), jnp.float32(1.0))
     chunk = _chunk_of(buf)
-    aligned = cap % m == 0  # static
+    prio_src = jnp.full((m,), max_p, jnp.float32)
+    pa_src = jnp.full((m,), max_p ** alpha, jnp.float32)
 
-    if aligned:
-        start = buf.pos  # always a multiple of m, no wrap mid-push
+    def slice_write(buf):
+        start = buf.pos  # multiple of m ⇒ no wrap mid-push
 
         def put(dst, src):
             idx0 = (start,) + (0,) * (src.ndim - 1)
             return jax.lax.dynamic_update_slice(dst, src, idx0)
 
-        prios = put(buf.prios, jnp.full((m,), max_p, jnp.float32))
-        p_alpha = put(buf.p_alpha, jnp.full((m,), max_p ** alpha, jnp.float32))
-    else:
+        return _write_fields(buf, put, prio_src, pa_src, batch)
+
+    def scatter_write(buf):
         idx = (buf.pos + jnp.arange(m, dtype=jnp.int32)) % cap
 
         def put(dst, src):
             return dst.at[idx].set(src)
 
-        prios = buf.prios.at[idx].set(max_p)
-        p_alpha = buf.p_alpha.at[idx].set(max_p ** alpha)
+        return _write_fields(buf, put, prio_src, pa_src, batch)
+
+    if cap % m == 0:
+        # Fast path is valid only when the cursor itself is m-aligned
+        # (guaranteed if callers always push m, but guard against mixed
+        # push sizes: dynamic_update_slice clamps at the ring end and
+        # would silently write to the wrong slots).
+        fields = jax.lax.cond(buf.pos % m == 0, slice_write, scatter_write, buf)
+    else:
+        fields = scatter_write(buf)
+    obs, action, reward, next_obs, done, prios, p_alpha = fields
 
     # affected chunks: a contiguous cyclic range of ceil(m/chunk)+1 chunks
     n_aff = min(m // chunk + 2, cap // chunk)
@@ -161,11 +183,11 @@ def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
         p_alpha, prios, buf.chunk_sums, buf.chunk_max, chunk_ids
     )
     return buf._replace(
-        obs=put(buf.obs, batch.obs),
-        action=put(buf.action, batch.action),
-        reward=put(buf.reward, batch.reward),
-        next_obs=put(buf.next_obs, batch.next_obs),
-        done=put(buf.done, batch.done),
+        obs=obs,
+        action=action,
+        reward=reward,
+        next_obs=next_obs,
+        done=done,
         prios=prios,
         p_alpha=p_alpha,
         chunk_sums=chunk_sums,

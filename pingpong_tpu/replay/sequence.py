@@ -202,7 +202,14 @@ def _window_valid(buf: SeqReplay, env: Array, t0: Array, trace_length: int) -> A
     # episodes only")
     current = buf.cur_ep_id[env]
     not_inflight = id_hi != current
-    return (id_lo == id_hi) & (id_lo >= 0) & in_range & not_inflight
+    # Once the ring has wrapped, the write seam (newest entry at column
+    # cursor%ring - 1, oldest at cursor%ring) is a time discontinuity. The
+    # endpoint-id check alone can admit a seam-straddling window when one
+    # episode spans ~ring_len steps (same id on both sides of the seam);
+    # reject any window whose columns contain both seam sides.
+    seam = buf.cursor % ring
+    straddles_seam = (buf.cursor >= ring) & (seam > t0) & (seam < t0 + trace_length)
+    return (id_lo == id_hi) & (id_lo >= 0) & in_range & not_inflight & ~straddles_seam
 
 
 def seq_sample(

@@ -14,7 +14,13 @@ Host-side control flow mirroring
   to the original weights with a fresh buffer/optimizer/epsilon, and count
   the generation done anyway (ref :267-295);
 * the pool is loaded once at startup from every checkpoint in the ckpt
-  dir — fault checkpoints included, as the reference does (ref :199-207).
+  dir — fault checkpoints included, as the reference does (ref :199-207);
+* full-train-state autosave (PER buffer, env states, optimizer, counters,
+  host key) every ``save_latest_checkpoint_interval_steps`` train steps
+  via Orbax, restored as tier 0 on startup — the reference QNet trainer
+  has NO crash resume at all (a mid-generation crash loses everything
+  since the last promotion); this adopts the RNN trainer's autosave idea
+  (train_rnn_iterative.py:630-667) and exceeds it by keeping the buffer.
 
 The device side is fully batched: training episodes come from
 ``DQNLearner.train_iteration`` (num_envs lockstep envs), evaluation from
@@ -127,6 +133,58 @@ class QNetSelfPlay:
         self.records: List[GenerationRecord] = []
         self.reward_history: List[float] = []
 
+        # ---- tier-0 restore: full-state autosave (buffer included)
+        self.done_generations = 0
+        self.current_generation = 0
+        self._since_autosave = 0
+        self._resumed_mid_generation = False
+        latest = self.ckpt_dir / cfg.latest_checkpoint_filename
+        from pingpong_tpu.checkpoint.orbax_io import is_train_state_checkpoint
+
+        if is_train_state_checkpoint(latest):
+            try:
+                self._restore_full_state(latest)
+                self.logger.log({"event": "restore", "tier": 0,
+                                 "path": str(latest)})
+            except Exception as e:
+                self.logger.log({"event": "restore_failed", "tier": 0,
+                                 "error": str(e)})
+
+    # -- full-state autosave / restore --------------------------------------
+    def autosave(self) -> str:
+        from pingpong_tpu.checkpoint.orbax_io import autosave_full_state
+
+        path = autosave_full_state(
+            self.ckpt_dir / self.cfg.latest_checkpoint_filename,
+            self.state, self.params_a, self.key,
+            {
+                "generation": self.current_generation,
+                "done_generations": self.done_generations,
+                "model_kind": "qnet",
+            },
+        )
+        self.logger.log({"event": "autosave",
+                         "train_steps": int(self.state.train_steps)})
+        return str(path)
+
+    def _restore_full_state(self, path) -> None:
+        from pingpong_tpu.checkpoint.orbax_io import restore_full_state
+
+        k0 = jax.random.PRNGKey(0)
+        template = self.learner.shard_state(
+            self.learner.init_state(k0, qnet_init(k0))
+        )
+        self.state, self.params_a, self.key, meta = restore_full_state(
+            path, template, template.params_b, self.key,
+        )
+        self.current_generation = int(meta.get("generation", 0))
+        self.done_generations = int(meta.get("done_generations", 0))
+        # continue the interrupted generation with the restored B (do not
+        # start a fresh one at run() entry)
+        self._resumed_mid_generation = (
+            self.current_generation > self.done_generations
+        )
+
     # -- helpers -----------------------------------------------------------
     def _opp_stack(self):
         # exactly-sized stack: all slots' Q-values compute every step, so
@@ -201,8 +259,17 @@ class QNetSelfPlay:
         env_steps = 0
         last_log_eps = start_eps
         while int(self.state.episodes) < goal:
+            steps_before = int(self.state.train_steps)
             self.state, m = self.learner.train_iteration(self.state, opp, pool_size)
             env_steps += int(m.env_steps)
+            self._since_autosave += int(self.state.train_steps) - steps_before
+            if (
+                self.cfg.save_latest_checkpoint_interval_steps > 0
+                and self._since_autosave
+                >= self.cfg.save_latest_checkpoint_interval_steps
+            ):
+                self._since_autosave = 0
+                self.autosave()
             self.win_a_window.add(int(m.games_vs_a), int(m.wins_vs_a))
             self.win_pool_window.add(int(m.games_vs_pool), int(m.wins_vs_pool))
             if int(m.episodes) > 0:
@@ -230,10 +297,14 @@ class QNetSelfPlay:
 
     def run(self) -> List[GenerationRecord]:
         sp = self.cfg.selfplay
-        done_generations = 0
-        current_generation = 0
-        while done_generations < sp.max_generations:
-            current_generation += 1
+        while self.done_generations < sp.max_generations:
+            if self._resumed_mid_generation:
+                # continue the restored in-flight generation's label; B's
+                # state (buffer/optimizer/epsilon) came from the autosave
+                self._resumed_mid_generation = False
+            else:
+                self.current_generation += 1
+            current_generation = self.current_generation
             tries = 0
             while True:
                 tries += 1
@@ -271,7 +342,7 @@ class QNetSelfPlay:
                         {"event": "promoted", "generation": current_generation,
                          "checkpoint": path}
                     )
-                    done_generations += 1
+                    self.done_generations += 1
                     break
                 if tries >= sp.max_retries_for_generation:
                     name = f"model{self.cfg.model_id}-{current_generation}_fault"
@@ -290,6 +361,8 @@ class QNetSelfPlay:
                     self.state = self.learner.reset_learner(
                         self.state, self.init_params
                     )
-                    done_generations += 1
+                    self.done_generations += 1
                     break
+        if self.cfg.save_latest_checkpoint_interval_steps > 0:
+            self.autosave()
         return self.records

@@ -20,7 +20,10 @@ Host-side control flow mirroring
   (key chain params_a -> params_b); (3) else random init with B <- A;
 * full training state autosaves every
   ``save_latest_checkpoint_interval_steps`` train steps (ref :518-521),
-  via the atomic checkpoint store (the reference's ``.error_backup``
+  via Orbax — INCLUDING the sequence replay ring buffer, env states,
+  hidden states and the host PRNG key, so a killed run continues
+  bit-compatibly (the reference's autosave stores only weights/optimizer/
+  counters and loses its replay memory, :630-667; its ``.error_backup``
   fallback is superseded by atomic rename).
 """
 
@@ -32,12 +35,7 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 
-from pingpong_tpu.checkpoint.serialize import (
-    opt_state_from_leaves,
-    opt_state_to_leaves,
-    params_from_dict,
-    qnet_rnn_to_dict,
-)
+from pingpong_tpu.checkpoint.serialize import params_from_dict, qnet_rnn_to_dict
 from pingpong_tpu.checkpoint.store import is_checkpoint, load_checkpoint, save_checkpoint
 from pingpong_tpu.config.schema import DRQNConfig, EnvConfig
 from pingpong_tpu.env.pong import env_params_from_config
@@ -91,9 +89,12 @@ class DRQNSelfPlay:
         self.done_generations = 0
         self.current_generation = 0
         self._since_autosave = 0
+        self._resumed_mid_generation = False
         latest = self.ckpt_dir / cfg.latest_checkpoint_filename
         restored = False
-        if is_checkpoint(latest):
+        from pingpong_tpu.checkpoint.orbax_io import is_train_state_checkpoint
+
+        if is_train_state_checkpoint(latest):
             try:
                 self._restore_full_state(latest)
                 restored = True
@@ -129,50 +130,48 @@ class DRQNSelfPlay:
             self.logger.log({"event": "restore", "tier": 3})
 
     # -- full-state autosave / restore (ref :630-667, :237-290) -------------
-    def _full_state_payload(self) -> dict:
-        return {
-            "params_b": qnet_rnn_to_dict(jax.device_get(self.state.params_b)),
-            "params_a": qnet_rnn_to_dict(jax.device_get(self.params_a)),
-            "target_b": qnet_rnn_to_dict(jax.device_get(self.state.target_b)),
-            "opt_state": opt_state_to_leaves(self.state.opt_state),
-            "epsilon": float(self.state.epsilon),
-            "episode": int(self.state.episodes),
-            "train_steps": int(self.state.train_steps),
-            "generation": self.current_generation,
-            "done_generations": self.done_generations,
-            "model_kind": "qnet_rnn",
-        }
-
     def autosave(self) -> str:
-        path = save_checkpoint(
+        """Orbax full-state autosave: the ENTIRE train state — sequence
+        ring buffer, env states, hidden states, optimizer, counters — plus
+        frozen A and the host key (exceeds ref :630-667, which loses the
+        replay memory on restart)."""
+        from pingpong_tpu.checkpoint.orbax_io import autosave_full_state
+
+        path = autosave_full_state(
             self.ckpt_dir / self.cfg.latest_checkpoint_filename,
-            self._full_state_payload(),
+            self.state, self.params_a, self.key,
+            {
+                "generation": self.current_generation,
+                "done_generations": self.done_generations,
+                "n_opponent_slots": int(self.state.hid_opp.h.shape[0]),
+                "model_kind": "qnet_rnn",
+            },
         )
         self.logger.log({"event": "autosave", "train_steps": int(self.state.train_steps)})
         return str(path)
 
     def _restore_full_state(self, path) -> None:
-        payload = load_checkpoint(path)
-        params_b = params_from_dict(payload["params_b"])
-        self.params_a = params_from_dict(payload["params_a"])
+        from pingpong_tpu.checkpoint.orbax_io import (
+            load_metadata,
+            restore_full_state,
+        )
+
+        meta = load_metadata(path) or {}
+        n_slots = int(meta.get("n_opponent_slots", 1 + len(self.pool)))
+        k0 = jax.random.PRNGKey(0)
+        template = self.learner.init_state(
+            k0, self.learner.init_params(k0), n_opponent_slots=n_slots
+        )
+        self.state, self.params_a, self.key, meta = restore_full_state(
+            path, template, template.params_b, self.key,
+        )
         self.init_params = self.params_a
-        self.key, k_state = jax.random.split(self.key)
-        self.state = self.learner.init_state(
-            k_state,
-            params_b,
-            epsilon=payload["epsilon"],
-            episodes=payload["episode"],
-            n_opponent_slots=1 + len(self.pool),
-        )
-        self.state = self.state._replace(
-            target_b=params_from_dict(payload["target_b"]),
-            opt_state=opt_state_from_leaves(
-                self.state.opt_state, payload["opt_state"]
-            ),
-            train_steps=jnp.int32(payload["train_steps"]),
-        )
-        self.current_generation = int(payload.get("generation", 0))
-        self.done_generations = int(payload.get("done_generations", 0))
+        self.current_generation = int(meta.get("generation", 0))
+        self.done_generations = int(meta.get("done_generations", 0))
+        # The autosave was taken mid-generation: run() must continue the
+        # restored generation with the restored B instead of starting the
+        # next one (which would clobber B via new_generation).
+        self._resumed_mid_generation = self.current_generation > self.done_generations
 
     # -- eval ---------------------------------------------------------------
     def _eval_vs(self, opponents: List[QNetRNNParams], n_games: int) -> float:
@@ -258,10 +257,16 @@ class DRQNSelfPlay:
     def run(self) -> List[GenerationRecord]:
         sp = self.cfg.selfplay
         while self.done_generations < sp.max_generations:
-            self.current_generation += 1
-            if self.current_generation > 1:
-                # B <- A with fresh optimizer/target/epsilon (ref :714-722)
-                self.state = self.learner.new_generation(self.state, self.params_a)
+            if self._resumed_mid_generation:
+                # Tier-1 restore landed mid-generation: keep the restored
+                # generation label and in-flight B/optimizer/epsilon —
+                # do NOT reset via new_generation.
+                self._resumed_mid_generation = False
+            else:
+                self.current_generation += 1
+                if self.current_generation > 1:
+                    # B <- A with fresh optimizer/target/epsilon (ref :714-722)
+                    self.state = self.learner.new_generation(self.state, self.params_a)
             tries = 0
             while True:
                 tries += 1

@@ -69,6 +69,21 @@ def test_atomic_overwrite(tmp_path):
     assert load_checkpoint(tmp_path / "m")["v"] == 2
 
 
+def test_overwrite_cleans_old_and_survives_stale_old(tmp_path):
+    """save keeps one valid checkpoint at all times: a leftover .old from a
+    crashed previous save must not break the next save, and no .old remains
+    after a successful one."""
+    params = qnet_init(jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path / "m", {"params_b": qnet_to_dict(params), "v": 1})
+    # simulate a crash that left the previous checkpoint parked aside
+    import shutil
+
+    shutil.copytree(tmp_path / "m", tmp_path / "m.old")
+    save_checkpoint(tmp_path / "m", {"params_b": qnet_to_dict(params), "v": 2})
+    assert load_checkpoint(tmp_path / "m")["v"] == 2
+    assert not (tmp_path / "m.old").exists()
+
+
 def test_pool_loading_and_fault_skip(tmp_path):
     q1 = qnet_init(jax.random.PRNGKey(0))
     q2 = qnet_init(jax.random.PRNGKey(1))

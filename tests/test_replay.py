@@ -42,6 +42,19 @@ def test_push_ring_and_max_priority():
     np.testing.assert_allclose(float(buf.obs[0, 0]), 23.0)
 
 
+def test_mixed_push_sizes_misaligned_cursor_wraps_correctly():
+    """cap % m == 0 but pos % m != 0: the slice fast path would clamp at the
+    ring end and corrupt slots — must fall back to the scatter path."""
+    buf = per_init(8)
+    buf = per_push(buf, make_batch(4, start=0), A)    # pos=4
+    buf = per_push(buf, make_batch(2, start=10), A)   # pos=6
+    # m=4 divides cap=8 but pos=6 is misaligned; wraps to slots 6,7,0,1
+    buf = per_push(buf, make_batch(4, start=20), A)
+    assert int(buf.pos) == 2 and int(buf.size) == 8
+    got = np.asarray(buf.obs[:, 0])
+    np.testing.assert_allclose(got, [22, 23, 2, 3, 10, 11, 20, 21])
+
+
 def test_chunk_summaries_consistent():
     buf = per_init(4096)  # chunk = 1024, 4 chunks
     buf = per_push(buf, make_batch(1500), A)

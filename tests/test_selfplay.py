@@ -81,7 +81,11 @@ def test_warm_start_from_checkpoint(tmp_path):
     episodes_after = int(d1.state.episodes)
 
     import dataclasses
+    import shutil
 
+    # drop the tier-0 full-state autosave so this exercises the warm-start
+    # tier specifically
+    shutil.rmtree(tmp_path / "checkpoints" / "latest_qnet_training_state")
     cfg2 = dataclasses.replace(cfg, init_model_path="checkpoints/model5-1")
     d2 = QNetSelfPlay(ENV, cfg2, workdir=str(tmp_path), seed=1,
                       logger=MetricsLogger(echo=False))
@@ -90,3 +94,31 @@ def test_warm_start_from_checkpoint(tmp_path):
     assert float(d2.state.epsilon) < 1.0
     # pool picked up the promoted checkpoint (ref :199-207)
     assert len(d2.pool) == 1
+
+
+def test_tier0_full_state_resume_mid_generation(tmp_path):
+    """Kill mid-generation, restart: the full-state autosave (PER buffer
+    included) must continue the same generation with identical state."""
+    cfg = tiny_cfg(curr_win_threshold=0.0, pool_win_threshold=0.0,
+                   max_generations=2)
+    d1 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                      logger=MetricsLogger(echo=False))
+    # simulate an interrupted generation 2 mid-training
+    d1.current_generation = 2
+    d1.done_generations = 1
+    d1._train_block(4)
+    d1.autosave()
+    saved_leaves = jax.tree_util.tree_leaves(jax.device_get(d1.state))
+
+    d2 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=7,
+                      logger=MetricsLogger(echo=False))
+    assert d2._resumed_mid_generation
+    assert d2.current_generation == 2 and d2.done_generations == 1
+    # bit-compatible: every leaf of the train state (incl. the PER buffer
+    # contents and the jit PRNG key) restored exactly
+    restored_leaves = jax.tree_util.tree_leaves(jax.device_get(d2.state))
+    assert len(saved_leaves) == len(restored_leaves)
+    for a, b in zip(saved_leaves, restored_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = d2.run()
+    assert records[0].generation == 2  # label continued, not skipped

@@ -52,8 +52,15 @@ def test_promotion_appends_pool_and_autosaves(tmp_path):
     # runtime pool got both generations (ref appends on success)
     assert len(d.pool) == 2
     names = {p.name for p in list_checkpoints(tmp_path / "checkpoints_rnn")}
-    assert {"rnn_pong_soul_1", "rnn_pong_soul_2",
-            "latest_rnn_training_state"} <= names
+    assert {"rnn_pong_soul_1", "rnn_pong_soul_2"} <= names
+    # the full-state autosave is Orbax-format (buffer included), so it is
+    # invisible to the npz pool loader by construction
+    from pingpong_tpu.checkpoint.orbax_io import is_train_state_checkpoint
+
+    assert is_train_state_checkpoint(
+        tmp_path / "checkpoints_rnn" / "latest_rnn_training_state"
+    )
+    assert "latest_rnn_training_state" not in names
 
 
 def test_fault_keeps_buffer_and_resets_b(tmp_path):
@@ -84,7 +91,11 @@ def test_tier1_restore_resumes_counters(tmp_path):
     d1.run()
     eps = int(d1.state.episodes)
     steps = int(d1.state.train_steps)
-    assert is_checkpoint(tmp_path / "checkpoints_rnn" / "latest_rnn_training_state")
+    from pingpong_tpu.checkpoint.orbax_io import is_train_state_checkpoint
+
+    assert is_train_state_checkpoint(
+        tmp_path / "checkpoints_rnn" / "latest_rnn_training_state"
+    )
 
     d2 = DRQNSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=1,
                       logger=MetricsLogger(echo=False))
@@ -93,6 +104,39 @@ def test_tier1_restore_resumes_counters(tmp_path):
     assert d2.done_generations == 1
     # fault ckpts excluded but promoted gen loaded into pool
     assert len(d2.pool) == 1
+
+
+def test_tier1_mid_generation_resume_keeps_b(tmp_path):
+    """A mid-generation autosave must resume the in-flight generation with
+    the restored B — not reset B<-A via new_generation (advisor finding)."""
+    cfg = tiny_cfg(curr_win_threshold=0.0, pool_win_threshold=0.0,
+                   max_generations=2)
+    d1 = DRQNSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                      logger=MetricsLogger(echo=False))
+    # simulate an interrupted generation 2: train a bit, autosave mid-gen
+    d1.current_generation = 2
+    d1.done_generations = 1
+    d1._train_block(4)
+    d1.autosave()
+    b_saved = jax.device_get(d1.state.params_b)
+    steps_saved = int(d1.state.train_steps)
+
+    d2 = DRQNSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=1,
+                      logger=MetricsLogger(echo=False))
+    assert d2._resumed_mid_generation
+    assert d2.current_generation == 2 and d2.done_generations == 1
+    # restored B is bit-identical to the autosaved in-flight B
+    for a, b in zip(
+        jax.tree_util.tree_leaves(b_saved),
+        jax.tree_util.tree_leaves(jax.device_get(d2.state.params_b)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    records = d2.run()
+    # generation label 2 continued (not skipped to 3)
+    assert records[0].generation == 2
+    # run() must not have clobbered the restored progress at entry: the
+    # restored train-step counter keeps advancing from where it was
+    assert int(d2.state.train_steps) > steps_saved
 
 
 def test_tier2_restore_from_init_path(tmp_path):

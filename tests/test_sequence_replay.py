@@ -98,6 +98,28 @@ def test_ring_wrap_invalidates_stale_windows():
         np.testing.assert_array_equal(np.diff(obs[i, :, 1]), 1)
 
 
+def test_seam_straddling_window_rejected_for_ring_spanning_episode():
+    """One episode spanning ~ring_len steps has equal ep-ids on both sides
+    of the write seam; the seam check must still reject such windows."""
+    ring = 16
+    buf = seq_init(1, ring)
+    # single episode of ring+6 steps: wraps, same ep id everywhere
+    for t in range(ring + 6):
+        obs = jnp.asarray([[1, t, 0, 0, 0, 0, 0]], jnp.float32)
+        done = jnp.asarray([t == ring + 5])
+        buf = seq_push_step(
+            buf, obs, jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32),
+            obs, done, TRACE,
+        )
+    s = seq_sample(buf, jax.random.PRNGKey(7), 512, TRACE, rejection_rounds=8)
+    valid = np.asarray(s.valid)
+    obs = np.asarray(s.obs)
+    # no valid window may be time-discontinuous (mix newest + one-revolution
+    # -old steps across the seam)
+    for i in np.nonzero(valid)[0]:
+        np.testing.assert_array_equal(np.diff(obs[i, :, 1]), 1)
+
+
 def test_sample_determinism():
     buf = seq_init(2, 64)
     buf, _ = push_pattern(buf, [8, 8])
