@@ -77,26 +77,58 @@ def bench_env_steps():
     return steps / dt
 
 
-def bench_train_iteration():
-    """Secondary: full actor-learner iteration env-steps/s (stderr only)."""
+def _bench_env_cfg():
+    return EnvConfig(
+        paddle_speed=0.03, magnus_factor=0.025, restitution=1.0, friction=0.6,
+        ball_speed_range=(0.03, 0.05), spin_range=(-5, 5),
+        speed_scale_every=1, speed_increment=0.1, max_episode_steps=4096,
+    )
+
+
+def bench_train_iteration(pool_n: int = 0):
+    """Secondary: full actor-learner iteration env-steps/s (stderr only).
+
+    Uses the shipped defaults (fused Pallas rollout ON) and an
+    exactly-sized opponent stack, as the self-play loop does; ``pool_n``
+    measures the opponent-pool compute tax."""
     from pingpong_tpu.models import qnet_init
     from pingpong_tpu.train.dqn import DQNLearner, stack_opponents
 
     cfg = DQNConfig(num_envs=8192, rollout_length=128,
                     updates_per_iteration=64, batch_size=256,
                     memory_size=1_048_576)
-    env_cfg = EnvConfig(
-        paddle_speed=0.03, magnus_factor=0.025, restitution=1.0, friction=0.6,
-        ball_speed_range=(0.03, 0.05), spin_range=(-5, 5),
-        speed_scale_every=1, speed_increment=0.1, max_episode_steps=4096,
-    )
-    learner = DQNLearner(env_cfg, cfg)
+    learner = DQNLearner(_bench_env_cfg(), cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
-    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), [], cfg.pool_max)
+    pool = [qnet_init(jax.random.PRNGKey(10 + i)) for i in range(pool_n)]
+    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), pool, pool_n)
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)  # compile
     jax.block_until_ready(m.mean_loss)
-    iters = 3
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = learner.train_iteration(state, opp, n)
+    jax.block_until_ready(m.mean_loss)
+    dt = time.perf_counter() - t0
+    return cfg.num_envs * cfg.rollout_length * iters / dt
+
+
+def bench_drqn_iteration():
+    """Secondary: recurrent (DRQN) train-iteration env-steps/s."""
+    from pingpong_tpu.config import DRQNConfig
+    from pingpong_tpu.train.drqn import DRQNLearner, stack_rnn_opponents
+
+    cfg = DRQNConfig(num_envs=1024, rollout_length=128,
+                     updates_per_iteration=32, batch_size=64,
+                     ring_len=4096)
+    learner = DRQNLearner(_bench_env_cfg(), cfg)
+    params = learner.init_params(jax.random.PRNGKey(0))
+    state = learner.init_state(jax.random.PRNGKey(1), params)
+    opp, n = stack_rnn_opponents(params, [])
+    n = jnp.int32(n)
+    state, m = learner.train_iteration(state, opp, n)
+    jax.block_until_ready(m.mean_loss)
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = learner.train_iteration(state, opp, n)
@@ -148,8 +180,17 @@ def main():
         train_rate = bench_train_iteration()
         print(f"[bench] train-iteration env-steps/s: {train_rate:,.0f}",
               file=sys.stderr)
+        train_rate16 = bench_train_iteration(pool_n=16)
+        print(f"[bench] train-iteration (pool=16) env-steps/s: "
+              f"{train_rate16:,.0f}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] train bench failed: {e}", file=sys.stderr)
+    try:
+        drqn_rate = bench_drqn_iteration()
+        print(f"[bench] DRQN train-iteration env-steps/s: {drqn_rate:,.0f}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] drqn bench failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(env_rate),

@@ -110,6 +110,7 @@ def cmd_round_robin(args) -> int:
         episodes_per_match=args.episodes,
         include_bot=not args.no_bot,
         seed=cfg.seed,
+        swap_sides=args.swap_sides,
     )
 
 
@@ -125,6 +126,7 @@ def cmd_arena(args) -> int:
         episodes_per_match=args.episodes,
         include_bot=not args.no_bot,
         seed=cfg.seed,
+        swap_sides=args.swap_sides,
     )
 
 
@@ -185,6 +187,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="results_round_robin")
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--no-bot", action="store_true")
+    p.add_argument("--swap-sides", action="store_true",
+                   help="side-balanced: half the games per seating")
     p.set_defaults(fn=cmd_round_robin)
 
     p = sub.add_parser("arena", help="persistent resumable tournament")
@@ -194,6 +198,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="results_arena")
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--no-bot", action="store_true")
+    p.add_argument("--swap-sides", action="store_true",
+                   help="side-balanced: half the games per seating")
     p.set_defaults(fn=cmd_arena)
 
     p = sub.add_parser("view", help="render an episode between two checkpoints")

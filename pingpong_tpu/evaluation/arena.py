@@ -105,27 +105,40 @@ def run_tournament(
     db_path: Path,
     match_plan: List[Dict],
     key,
+    swap_sides: bool = False,
 ) -> None:
     entries = _entries_from_db(database)
     for item in match_plan:
         a = entries[item["p1_id"]]
         b = entries[item["p2_id"]]
         n = item["episodes_to_run"]
-        key, k_match = jax.random.split(key)
-        res = runner.play(a, b, n, k_match)
-        sa = np.asarray(res.score_a)
-        sb = np.asarray(res.score_b)
-        now = datetime.now(timezone.utc).isoformat()
-        for g in range(n):
-            winner = a.id if sa[g] > sb[g] else (b.id if sb[g] > sa[g] else "draw")
-            database["match_history"].append({
-                "p1": a.id, "p2": b.id, "winner": winner,
-                "p1_score": int(sa[g]), "p2_score": int(sb[g]),
-                "timestamp": now,
-            })
+        if swap_sides:
+            seatings = [(a, b, n // 2), (b, a, n - n // 2)]
+        else:
+            seatings = [(a, b, n)]
+        wins = {a.id: 0, b.id: 0}
+        for top, bottom, m in seatings:
+            if m == 0:
+                continue
+            key, k_match = jax.random.split(key)
+            res = runner.play(top, bottom, m, k_match)
+            sa = np.asarray(res.score_a)
+            sb = np.asarray(res.score_b)
+            now = datetime.now(timezone.utc).isoformat()
+            for g in range(m):
+                winner = (top.id if sa[g] > sb[g]
+                          else (bottom.id if sb[g] > sa[g] else "draw"))
+                database["match_history"].append({
+                    "p1": top.id, "p2": bottom.id, "winner": winner,
+                    "p1_score": int(sa[g]), "p2_score": int(sb[g]),
+                    "timestamp": now,
+                })
+            wins[top.id] += int(np.sum(sa > sb))
+            wins[bottom.id] += int(np.sum(sb > sa))
         save_database(db_path, database)  # crash-safe resume point per pair
         print(f"[arena] {a.id} vs {b.id}: +{n} games "
-              f"({int(np.sum(sa > sb))}-{int(np.sum(sb > sa))})")
+              f"({wins[a.id]}-{wins[b.id]})"
+              + (" [side-balanced]" if swap_sides else ""))
 
 
 def generate_summary_report(database: Dict):
@@ -189,6 +202,7 @@ def run_arena(
     seed: int = 0,
     candidates: Optional[List[Dict]] = None,
     bot_tolerance: float = 0.02,   # ref arena.py:213
+    swap_sides: bool = False,
 ) -> int:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -213,7 +227,8 @@ def run_arena(
 
     env_params = env_params_from_config(cfg.env)
     runner = MatchRunner(env_params, bot_tolerance=bot_tolerance)
-    run_tournament(runner, database, db_path, plan, jax.random.PRNGKey(seed))
+    run_tournament(runner, database, db_path, plan, jax.random.PRNGKey(seed),
+                   swap_sides=swap_sides)
 
     summary = generate_summary_report(database)
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -210,3 +210,37 @@ def eval_win_rate(
     keys = jax.random.split(key, n_games)
     result = match_fn(params_a_stack, params_b_stack, idx_a, idx_b, keys)
     return float(jnp.mean(result.win_b.astype(jnp.float32))), result
+
+
+def eval_win_rate_balanced(
+    match_fn,
+    opp_stack,
+    learner_stack,
+    idx_opp: Array,
+    idx_learner: Array,
+    key: Array,
+    n_games: int,
+) -> Tuple[float, float, float]:
+    """Side-balanced gate eval (no reference equivalent — the reference
+    always seats the candidate as B, the bottom seat the spin/mirror quirk
+    favors, /root/reference/envs/my_pong_env_2p.py:235-245; see
+    tests/test_side_asymmetry.py). Half the games seat the learner as B,
+    half as A; a win is a win from the learner's perspective either way.
+
+    Requires a ``match_fn`` built with the SAME policy kind on both seats.
+    Returns ``(win_rate_total, win_rate_as_b, win_rate_as_a)``.
+    """
+    n_b = n_games // 2
+    n_a = n_games - n_b
+    k_b, k_a = jax.random.split(key)
+    res_b = match_fn(opp_stack, learner_stack, idx_opp[:n_b],
+                     idx_learner[:n_b], jax.random.split(k_b, n_b))
+    res_a = match_fn(learner_stack, opp_stack, idx_learner[:n_a],
+                     idx_opp[:n_a], jax.random.split(k_a, n_a))
+    wins_as_b = float(jnp.sum(res_b.win_b.astype(jnp.float32)))
+    wins_as_a = float(jnp.sum(res_a.win_a.astype(jnp.float32)))
+    return (
+        (wins_as_b + wins_as_a) / n_games,
+        wins_as_b / max(n_b, 1),
+        wins_as_a / max(n_a, 1),
+    )

@@ -35,6 +35,9 @@ def run_round_robin(
     seed: int = 0,
     entries: Optional[List] = None,
     bot_tolerance: float = 0.01,   # ref test_round_robin.py:224
+    swap_sides: bool = False,      # N/2 games per seating (no ref equiv —
+                                   # the ref always seats p2 on the favored
+                                   # bottom side, tests/test_side_asymmetry)
 ) -> int:
     import pandas as pd
 
@@ -55,21 +58,35 @@ def run_round_robin(
     pairs = list(itertools.combinations(range(len(entries)), 2))
     for i, j in pairs:
         a, b = entries[i], entries[j]
-        key, k_match = jax.random.split(key)
-        res = runner.play(a, b, episodes_per_match, k_match)
-        sa = np.asarray(res.score_a)
-        sb = np.asarray(res.score_b)
-        now = datetime.now(timezone.utc).isoformat()
-        for g in range(episodes_per_match):
-            winner = a.id if sa[g] > sb[g] else (b.id if sb[g] > sa[g] else "draw")
-            records.append({
-                "p1": a.id, "p2": b.id,
-                "p1_score": int(sa[g]), "p2_score": int(sb[g]),
-                "winner": winner, "timestamp": now,
-            })
+        # seatings to play: (top, bottom, n_games); records keep the TRUE
+        # seating so per-seat rates stay auditable in the CSV
+        if swap_sides:
+            half = episodes_per_match // 2
+            seatings = [(a, b, half), (b, a, episodes_per_match - half)]
+        else:
+            seatings = [(a, b, episodes_per_match)]
+        wins = {a.id: 0, b.id: 0}
+        draws = 0
+        for top, bottom, n in seatings:
+            key, k_match = jax.random.split(key)
+            res = runner.play(top, bottom, n, k_match)
+            sa = np.asarray(res.score_a)
+            sb = np.asarray(res.score_b)
+            now = datetime.now(timezone.utc).isoformat()
+            for g in range(n):
+                winner = (top.id if sa[g] > sb[g]
+                          else (bottom.id if sb[g] > sa[g] else "draw"))
+                records.append({
+                    "p1": top.id, "p2": bottom.id,
+                    "p1_score": int(sa[g]), "p2_score": int(sb[g]),
+                    "winner": winner, "timestamp": now,
+                })
+            wins[top.id] += int(np.sum(sa > sb))
+            wins[bottom.id] += int(np.sum(sb > sa))
+            draws += int(np.sum(sa == sb))
         print(f"[round-robin] {a.id} vs {b.id}: "
-              f"{int(np.sum(sa > sb))}-{int(np.sum(sb > sa))}"
-              f" (draws {int(np.sum(sa == sb))})")
+              f"{wins[a.id]}-{wins[b.id]} (draws {draws})"
+              + (" [side-balanced]" if swap_sides else ""))
 
     dt = time.perf_counter() - t_start
     games = len(records)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused DQN actor rollout.
+"""Pallas TPU kernel: fused DQN actor rollout (lane-major layout).
 
 One kernel program per env tile runs the ENTIRE rollout chunk of the DQN
 trainer (`train/dqn.py::_rollout`): per step, the NoisyNet + epsilon-greedy
@@ -8,28 +8,26 @@ serves, transition emission, and episode accounting — with env state and
 every network's weights resident in VMEM. The XLA scan path launches ~50
 small kernels per env step; this runs the whole chunk in one.
 
-TPU status: both modes compile through Mosaic and run on real v5e
-hardware. The **no-transitions mode** (``emit_transitions=False`` —
-evaluation streams, policy-rollout benchmarking) uses a single-program
-fori loop per env tile. The **training mode** additionally emits per-step
-transitions via the time-as-grid-dimension form (grid ``(env_tiles,
-steps/8)``, 8 statically-unrolled env steps per cell, ``(tile, 8, 8)``
-transition slabs — Mosaic's block rules forbid per-step dynamic sublane
-writes, which is why the slab form exists). At current tile sizes the
-training-mode kernel (~23M env-steps/s incl. transition emission,
-tile_rows=128) does not yet beat the tuned XLA rollout (~37M rollout-only)
-— the per-cell state read-back and slab DMA overhead dominates; ROADMAP
-item: larger tiles via bf16 slabs / more steps per cell. It remains
-opt-in (``dqn.use_pallas_rollout``).
+Layout — the round-2 redesign that made the training path fast: envs live
+along LANES. Every scalar env field is a ``(1, E)`` row (E envs per
+program, a multiple of 128), so the ~50 elementwise physics ops per step
+run at full VPU lane width instead of the round-1 env-per-row form whose
+``(tile, 1)`` columns used 1 lane in 128 (~1% VPU utilization — measured
+44 ms per 1M env-steps regardless of opponent count; this form is ~10x
+faster). Player B's padded observation is simply the stack of the first 8
+state rows, so the policy matmuls run TRANSPOSED: ``h = W1^T @ obs``
+with shapes ``(64, 8) @ (8, E)``, ``(64, 64) @ (64, E)``,
+``(8, 64) @ (64, E)`` — N = E lanes keeps the MXU wide. Player A's
+mirrored view is a LINEAR map of B's view (``x, 1-y, vx, -vy, top,
+bottom, spin``), folded into each opponent's first layer at pack time
+(``W1t' = W1t M``, ``b1' = b1 + W1t[:, 1:2]``) so the mirror costs nothing
+in-kernel.
 
-Layout (Mosaic-friendly): envs are ROWS. The float state lives in one
-``(tile_envs, 16)`` matrix ``F`` whose first 8 columns ARE player B's
-padded observation ``(x, y, vx, vy, bottom, top, spin, 0)`` — so the
-learner's matmul input is a plain slice. Player A's mirrored view is a
-LINEAR map of B's view (``x, 1-y, vx, -vy, top, bottom, spin``), so the
-mirror is folded into each opponent's first-layer weights at pack time
-(``W1' = M W1``, ``b1' = b1 + W1[1, :]``) and costs nothing in-kernel.
-Integer state (scores, bounce, t, opp binding) lives in ``(tile_envs, 8)``.
+Training mode (``emit_transitions=True``) uses the time-as-grid form:
+grid ``(env_tiles, steps/steps_per_cell)`` with statically unrolled steps
+per cell and ``(spc, 8, E)`` transition slabs (Mosaic's block rules forbid
+per-step dynamic sublane writes). Eval mode is a single fori-loop program
+per tile.
 
 Exactness notes (VERIFIED against the XLA path in tests with randomness
 disabled):
@@ -67,134 +65,138 @@ from pingpong_tpu.ops.pong_kernel import (
 
 NEG_BIG = -1e30
 
-# F columns (first 8 = padded obs_b)
+# F rows (first 8 = padded obs_b, transposed: envs on lanes)
 FX, FY, FVX, FVY, FBOT, FTOP, FSPIN, FPAD, FRET = range(9)
-F_COLS = 16
-# I columns
+F_ROWS = 16
+# I rows
 ISA, ISB, IBOUNCE, IT, IOPP = range(5)
-I_COLS = 8
+I_ROWS = 8
 
+# obs_a = _MIRROR @ obs_b (+ e_y): x, 1-y, vx, -vy, top, bottom, spin
 _MIRROR = np.zeros((8, 8), np.float32)
 for _i, _j, _v in [(0, 0, 1), (1, 1, -1), (2, 2, 1), (3, 3, -1),
-                   (5, 4, 1), (4, 5, 1), (6, 6, 1)]:
+                   (4, 5, 1), (5, 4, 1), (6, 6, 1)]:
     _MIRROR[_i, _j] = _v
 
 
 class PackedQNet(NamedTuple):
-    """Lane-padded advantage-path weights (optionally mirror-folded)."""
+    """Transposed, padded advantage-path weights (optionally mirror-folded).
 
-    w1: jax.Array      # (..., 8, 64)
-    b1: jax.Array      # (..., 1, 64)
-    w2: jax.Array      # (..., 64, 64)
-    b2: jax.Array      # (..., 1, 64)
-    wa_mu: jax.Array   # (..., 64, 8)  3 real action columns
-    ba_mu: jax.Array   # (..., 1, 8)   padding columns biased to -inf
-    wa_sigma: jax.Array
-    ba_sigma: jax.Array
+    All matrices are laid out for left-multiplication of an ``(·, E)``
+    activations matrix: ``h1 = relu(w1t @ obs8 + b1t)`` etc."""
+
+    w1t: jax.Array       # (..., 64, 8)
+    b1t: jax.Array       # (..., 64, 1)
+    w2t: jax.Array       # (..., 64, 64)
+    b2t: jax.Array       # (..., 64, 1)
+    wat_mu: jax.Array    # (..., 8, 64)   3 real action rows
+    bat_mu: jax.Array    # (..., 8, 1)    padding rows biased to -inf
+    wat_sigma: jax.Array
+    bat_sigma: jax.Array
 
 
 def pack_qnet(params: QNetParams, mirror: bool = False) -> PackedQNet:
-    """Pad one QNet (or a stacked pool; leading axes preserved).
+    """Pad + transpose one QNet (or a stacked pool; leading axes kept).
 
-    ``mirror=True`` folds player A's view transform into (w1, b1): the net
-    then consumes player B's observation directly."""
+    ``mirror=True`` folds player A's view transform into (w1t, b1t): the
+    net then consumes player B's observation rows directly."""
 
-    def pad(x, rows=None, cols=None, fill=0.0):
+    def pad_rows(x, rows, fill=0.0):
         pads = [(0, 0)] * x.ndim
-        if rows is not None:
-            pads[-2] = (0, rows - x.shape[-2])
-        if cols is not None:
-            pads[-1] = (0, cols - x.shape[-1])
+        pads[-2] = (0, rows - x.shape[-2])
         return jnp.pad(x, pads, constant_values=fill)
 
-    def as2d(b):
-        return b[..., None, :]
+    def t(x):  # transpose the trailing two dims
+        return jnp.swapaxes(x, -1, -2)
 
-    w1 = pad(params.feat1.w, rows=8)            # (..., 8, 64)
-    b1 = as2d(params.feat1.b)                   # (..., 1, 64)
+    def col(b):  # (..., n) bias -> (..., n, 1)
+        return b[..., None]
+
+    w1t = t(jnp.pad(params.feat1.w, [(0, 0)] * (params.feat1.w.ndim - 2)
+                    + [(0, 1), (0, 0)]))          # (..., 64, 8)
+    b1t = col(params.feat1.b)                     # (..., 64, 1)
     if mirror:
-        m = jnp.asarray(_MIRROR)
-        b1 = b1 + w1[..., 1:2, :]               # constant term: +1 * row y
-        w1 = jnp.einsum("ij,...jk->...ik", m, w1)
-    ba = pad(as2d(params.fc_a.b_mu), cols=8, fill=NEG_BIG)
+        m = jnp.asarray(_MIRROR.T)                # fold: w1t' = w1t @ M^T? see below
+        # obs_a = M @ obs_b + e_y  =>  w1t @ obs_a = (w1t @ M) @ obs_b
+        #                              + w1t[:, y]
+        b1t = b1t + w1t[..., 1:2]
+        w1t = jnp.einsum("...ik,kj->...ij", w1t, jnp.asarray(_MIRROR))
     return PackedQNet(
-        w1=w1,
-        b1=b1,
-        w2=params.feat2.w,
-        b2=as2d(params.feat2.b),
-        wa_mu=pad(params.fc_a.w_mu, cols=8),
-        ba_mu=ba,
-        wa_sigma=pad(params.fc_a.w_sigma, cols=8),
-        ba_sigma=pad(as2d(params.fc_a.b_sigma), cols=8),
+        w1t=w1t,
+        b1t=b1t,
+        w2t=t(params.feat2.w),
+        b2t=col(params.feat2.b),
+        wat_mu=pad_rows(t(params.fc_a.w_mu), 8),
+        bat_mu=pad_rows(col(params.fc_a.b_mu), 8, fill=NEG_BIG),
+        wat_sigma=pad_rows(t(params.fc_a.w_sigma), 8),
+        bat_sigma=pad_rows(col(params.fc_a.b_sigma), 8),
     )
-
-
-def _normal(shape, uniform, seed, ctr, k):
-    u1 = uniform(shape, 1e-7, 1.0, seed, ctr, k)
-    u2 = uniform(shape, 0.0, 1.0, seed, ctr, k + 1)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
 
 
 def _scale_noise(x):
     return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
 
 
-def _advantage(obs8, w1, b1, w2, b2, wa, ba):
+def _advantage_t(obs8, w1t, b1t, w2t, b2t, wat, bat):
+    """Transposed forward: obs8 (8, E) -> advantages (8, E)."""
     h = jnp.maximum(
-        jnp.dot(obs8, w1, preferred_element_type=jnp.float32) + b1, 0.0
+        jnp.dot(w1t, obs8, preferred_element_type=jnp.float32) + b1t, 0.0
     )
     h = jnp.maximum(
-        jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2, 0.0
+        jnp.dot(w2t, h, preferred_element_type=jnp.float32) + b2t, 0.0
     )
-    return jnp.dot(h, wa, preferred_element_type=jnp.float32) + ba
+    return jnp.dot(wat, h, preferred_element_type=jnp.float32) + bat
 
+
+def _argmax3_rows(adv):
+    """argmax over the first 3 rows of (8, E); ties -> lowest index,
+    matching jnp.argmax."""
+    a0, a1, a2 = adv[0:1], adv[1:2], adv[2:3]
+    best01 = jnp.maximum(a0, a1)
+    i01 = jnp.where(a1 > a0, jnp.int32(1), jnp.int32(0))
+    return jnp.where(a2 > best01, jnp.int32(2), i01)     # (1, E) i32
 
 
 def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
-              lw, opp_refs, F, I, ctr):
-    """One env step on the (tile, cols) state matrices. Returns
-    (F_new, I_new, srow, emit) where emit = (obs8, next8, act_b, reward,
-    done_i32)."""
-    n = F.shape[0]
-    col_shape = (n, 1)
+              lw, opp_refs, rows, ctr):
+    """One env step on (1, E) field rows. Returns (rows', srow, emit)."""
+    (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
+    E = bx.shape[1]
+    row_f = (1, E)
 
-    def col_f(M, c):
-        return M[:, c:c + 1]
-
-    obs8 = F[:, 0:8]
+    obs8 = jnp.concatenate(
+        [bx, by, vx, vy, bot, top, sp, jnp.zeros(row_f, jnp.float32)], axis=0
+    )                                                     # (8, E)
 
     # ---- opponent action (mirror folded into weights)
-    act_a = jnp.zeros(col_shape, jnp.int32)
-    opp_idx = I[:, IOPP:IOPP + 1]
+    act_a = jnp.zeros(row_f, jnp.int32)
     for k in range(n_members):
         ow = [r[k] for r in opp_refs]
-        adv_k = _advantage(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
-        a_k = jnp.argmax(adv_k, axis=-1, keepdims=True).astype(jnp.int32)
-        act_a = jnp.where(opp_idx == k, a_k, act_a)
+        adv_k = _advantage_t(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
+        a_k = _argmax3_rows(adv_k)
+        act_a = jnp.where(opp == k, a_k, act_a)
 
     # ---- learner action: factorized noise + epsilon-greedy
-    eps_in = _scale_noise(_normal((64, 1), uniform, seed_mix, ctr, 1))
-    eps_out = _scale_noise(_normal((1, 8), uniform, seed_mix, ctr, 3))
-    wa_eff = lw[4] + lw[6] * jnp.dot(
-        eps_in, eps_out, preferred_element_type=jnp.float32
-    )
-    ba_eff = lw[5] + lw[7] * eps_out
+    u1 = uniform((8, 128), 1e-7, 1.0, seed_mix, ctr, 1)
+    u2 = uniform((8, 128), 0.0, 1.0, seed_mix, ctr, 2)
+    nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+    eps_in = _scale_noise(nrm[0:1, 0:64])                 # (1, 64)
+    eps_out = _scale_noise(nrm[0:8, 64:65])               # (8, 1)
+    wa_eff = lw[4] + lw[6] * (eps_out * eps_in)           # (8, 64)
+    ba_eff = lw[5] + lw[7] * eps_out                      # (8, 1)
     ba_eff = jnp.where(ba_eff < NEG_BIG * 0.5, NEG_BIG, ba_eff)
-    adv_b = _advantage(obs8, lw[0], lw[1], lw[2], lw[3], wa_eff, ba_eff)
-    greedy_b = jnp.argmax(adv_b, axis=-1, keepdims=True).astype(jnp.int32)
-    u_expl = uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 5)
-    rand_a = uniform(col_shape, 0.0, 3.0, seed_mix, ctr, 6).astype(jnp.int32)
+    adv_b = _advantage_t(obs8, lw[0], lw[1], lw[2], lw[3], wa_eff, ba_eff)
+    greedy_b = _argmax3_rows(adv_b)
+    u_expl = uniform(row_f, 0.0, 1.0, seed_mix, ctr, 5)
+    rand_a = uniform(row_f, 0.0, 3.0, seed_mix, ctr, 6).astype(jnp.int32)
     act_b = jnp.where(u_expl < epsilon, jnp.clip(rand_a, 0, 2), greedy_b)
 
-    # ---- env transition via the shared pure step
+    # ---- env transition via the shared pure step (shape-polymorphic)
     state = EnvState(
-        ball_x=col_f(F, FX), ball_y=col_f(F, FY),
-        ball_vx=col_f(F, FVX), ball_vy=col_f(F, FVY),
-        spin=col_f(F, FSPIN),
-        top_paddle_x=col_f(F, FTOP), bottom_paddle_x=col_f(F, FBOT),
-        score_a=I[:, ISA:ISA + 1], score_b=I[:, ISB:ISB + 1],
-        bounce_count=I[:, IBOUNCE:IBOUNCE + 1], t=I[:, IT:IT + 1],
-        done=jnp.zeros(col_shape, jnp.bool_),
+        ball_x=bx, ball_y=by, ball_vx=vx, ball_vy=vy, spin=sp,
+        top_paddle_x=top, bottom_paddle_x=bot,
+        score_a=sa, score_b=sb, bounce_count=bc, t=tt,
+        done=jnp.zeros(row_f, jnp.bool_),
     )
     new, out = step(params, state, act_a, act_b)
     done = out.done | (new.t >= cfg["max_episode_steps"]) \
@@ -203,36 +205,36 @@ def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
     next8 = jnp.concatenate(
         [new.ball_x, new.ball_y, new.ball_vx, new.ball_vy,
          new.bottom_paddle_x, new.top_paddle_x, new.spin,
-         jnp.zeros(col_shape, jnp.float32)], axis=1,
+         jnp.zeros(row_f, jnp.float32)], axis=0,
     )
 
-    # ---- accounting
-    ep_ret = col_f(F, FRET) + out.reward_b
+    # ---- accounting rows
+    ep_ret = ret + out.reward_b
     win = (ep_ret > 0.0) & done
-    vs_pool = opp_idx > 0
+    vs_pool = opp > 0
     d_f = done.astype(jnp.float32)
     w_f = win.astype(jnp.float32)
     p_f = vs_pool.astype(jnp.float32)
     srow = jnp.concatenate(
         [d_f * (1 - p_f), w_f * (1 - p_f), d_f * p_f, w_f * p_f,
          jnp.where(done, ep_ret, 0.0),
-         jnp.zeros((n, 3), jnp.float32)], axis=1,
-    )
+         jnp.zeros((3, E), jnp.float32)], axis=0,
+    )                                                     # (8, E)
 
     # ---- auto-reset + opponent re-bind
-    svx, svy, ssp = _serve_fields(params, col_shape, uniform, seed_mix,
-                                  ctr + 8)
+    svx, svy, ssp = _serve_fields(params, row_f, uniform, seed_mix, ctr + 8)
     use_pool = (
-        uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 13) < cfg["pool_ratio"]
+        uniform(row_f, 0.0, 1.0, seed_mix, ctr, 13) < cfg["pool_ratio"]
     ) & (pool_size > 0)
-    u_pick = uniform(col_shape, 0.0, 1.0, seed_mix, ctr, 14)
+    u_pick = uniform(row_f, 0.0, 1.0, seed_mix, ctr, 14)
     pick = jnp.clip(
         (u_pick * pool_size.astype(jnp.float32)).astype(jnp.int32),
         0, jnp.maximum(pool_size - 1, 0),
     )
     new_opp = jnp.where(use_pool, pick + 1, 0)
 
-    f_cols = [
+    zero_i = jnp.zeros(row_f, jnp.int32)
+    rows_new = (
         jnp.where(done, 0.5, new.ball_x),
         jnp.where(done, 0.5, new.ball_y),
         jnp.where(done, svx, new.ball_vx),
@@ -240,37 +242,48 @@ def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
         jnp.where(done, 0.5, new.bottom_paddle_x),
         jnp.where(done, 0.5, new.top_paddle_x),
         jnp.where(done, ssp, new.spin),
-        jnp.zeros(col_shape, jnp.float32),
         jnp.where(done, 0.0, ep_ret),
-    ]
-    F_new = jnp.concatenate(
-        f_cols + [jnp.zeros((n, F_COLS - len(f_cols)), jnp.float32)],
-        axis=1,
-    )
-    zero_i = jnp.zeros(col_shape, jnp.int32)
-    i_cols = [
         jnp.where(done, zero_i, new.score_a),
         jnp.where(done, zero_i, new.score_b),
         jnp.where(done, zero_i, new.bounce_count),
         jnp.where(done, zero_i, new.t),
-        jnp.where(done, new_opp, opp_idx),
-    ]
-    I_new = jnp.concatenate(
-        i_cols + [jnp.zeros((n, I_COLS - len(i_cols)), jnp.int32)],
-        axis=1,
+        jnp.where(done, new_opp, opp),
     )
     emit = (obs8, next8, act_b, out.reward_b, done.astype(jnp.int32))
-    return F_new, I_new, srow, emit
+    return rows_new, srow, emit
+
+
+def _rows_from_blocks(f_blk, i_blk):
+    return (
+        f_blk[FX:FX + 1], f_blk[FY:FY + 1], f_blk[FVX:FVX + 1],
+        f_blk[FVY:FVY + 1], f_blk[FBOT:FBOT + 1], f_blk[FTOP:FTOP + 1],
+        f_blk[FSPIN:FSPIN + 1], f_blk[FRET:FRET + 1],
+        i_blk[ISA:ISA + 1], i_blk[ISB:ISB + 1], i_blk[IBOUNCE:IBOUNCE + 1],
+        i_blk[IT:IT + 1], i_blk[IOPP:IOPP + 1],
+    )
+
+
+def _blocks_from_rows(rows):
+    (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
+    E = bx.shape[1]
+    f_blk = jnp.concatenate(
+        [bx, by, vx, vy, bot, top, sp, jnp.zeros((1, E), jnp.float32), ret]
+        + [jnp.zeros((F_ROWS - 9, E), jnp.float32)], axis=0,
+    )
+    i_blk = jnp.concatenate(
+        [sa, sb, bc, tt, opp] + [jnp.zeros((I_ROWS - 5, E), jnp.int32)],
+        axis=0,
+    )
+    return f_blk, i_blk
 
 
 def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
                        use_tpu_prng: bool, scalar_ref, *refs):
-    """Time-as-grid-dimension variant: grid (env_tiles, steps // 8), with
-    8 env steps statically unrolled per grid cell. The state/stats blocks
-    are revisited across the t axis (Mosaic keeps them VMEM-resident);
-    every transition block is a (tile, 8, 8) slab written with static row
-    indices — which is what lets the training-mode kernel (with
-    transition emission) satisfy Mosaic's block/tiling rules."""
+    """Time-as-grid-dimension training kernel: grid (env_tiles,
+    steps // spc), spc env steps statically unrolled per cell. State and
+    stats blocks are revisited across the t axis (Mosaic keeps them
+    VMEM-resident); each transition block is a (spc, 8|1, E) slab written
+    at static step indices."""
     i = 0
     f_ref = refs[i]; i += 1
     i_ref = refs[i]; i += 1
@@ -278,16 +291,15 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
     opp_refs = refs[i:i + 8]; i += 8
     out_f_ref = refs[i]; i += 1
     out_i_ref = refs[i]; i += 1
-    tr_obs_ref = refs[i]; i += 1     # block (tile, 8, 8) at (i, tb, 0)
+    tr_obs_ref = refs[i]; i += 1     # block (spc, 8, E) at (t, 0, i)
     tr_next_ref = refs[i]; i += 1
-    tr_act_ref = refs[i]; i += 1     # same slab layout, value in lane 0
+    tr_act_ref = refs[i]; i += 1     # block (spc, E) at (t, i)
     tr_rew_ref = refs[i]; i += 1
     tr_done_ref = refs[i]; i += 1
-    stats_ref = refs[i]; i += 1
+    stats_ref = refs[i]; i += 1      # block (8, E) revisited
 
     tb = pl.program_id(1)
     if use_tpu_prng:
-        # hardware seed takes at most 2 values: fold (tile, t-block) into one
         pltpu.prng_seed(
             scalar_ref[0], pl.program_id(0) * pl.num_programs(1) + tb
         )
@@ -310,46 +322,46 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
     lw = [r[:] for r in learner_refs]
-    F = out_f_ref[:]
-    I = out_i_ref[:]
+    rows = _rows_from_blocks(out_f_ref[:], out_i_ref[:])
     stats = stats_ref[:]
-    n = F.shape[0]
-    pad7f = jnp.zeros((n, 7), jnp.float32)
-    pad7i = jnp.zeros((n, 7), jnp.int32)
     for j in range(cfg["steps_per_cell"]):
-        F, I, srow, emit = _one_step(
+        rows, srow, emit = _one_step(
             params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
-            lw, opp_refs, F, I, jnp.int32(j * 16),
+            lw, opp_refs, rows, jnp.int32(j * 16),
         )
         obs8, next8, act_b, reward_b, done_i = emit
         stats = stats + srow
-        tr_obs_ref[:, j, :] = obs8
-        tr_next_ref[:, j, :] = next8
-        tr_act_ref[:, j, :] = jnp.concatenate([act_b, pad7i], axis=1)
-        tr_rew_ref[:, j, :] = jnp.concatenate([reward_b, pad7f], axis=1)
-        tr_done_ref[:, j, :] = jnp.concatenate([done_i, pad7i], axis=1)
-    out_f_ref[:] = F
-    out_i_ref[:] = I
+        tr_obs_ref[j] = obs8
+        tr_next_ref[j] = next8
+        tr_act_ref[j:j + 1, :] = act_b
+        tr_rew_ref[j:j + 1, :] = reward_b
+        tr_done_ref[j:j + 1, :] = done_i
+    f_blk, i_blk = _blocks_from_rows(rows)
+    out_f_ref[:] = f_blk
+    out_i_ref[:] = i_blk
     stats_ref[:] = stats
 
 
 def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
                   scalar_ref, *refs):
+    """Single-program fori variant: eval mode (no transitions) on TPU, and
+    all modes under the interpreter (the interpreter re-executes the kernel
+    per grid cell, making the grid form pathologically slow on CPU)."""
     steps = cfg["steps"]
     i = 0
-    f_ref = refs[i]; i += 1          # (tile, F_COLS)
-    i_ref = refs[i]; i += 1          # (tile, I_COLS)
+    f_ref = refs[i]; i += 1
+    i_ref = refs[i]; i += 1
     learner_refs = refs[i:i + 8]; i += 8
     opp_refs = refs[i:i + 8]; i += 8
     out_f_ref = refs[i]; i += 1
     out_i_ref = refs[i]; i += 1
     if cfg["emit_transitions"]:
-        tr_obs_ref = refs[i]; i += 1     # (tile, steps, 8)
-        tr_next_ref = refs[i]; i += 1    # (tile, steps, 8)
-        tr_act_ref = refs[i]; i += 1     # (tile, steps)
+        tr_obs_ref = refs[i]; i += 1     # (steps, 8, E)
+        tr_next_ref = refs[i]; i += 1
+        tr_act_ref = refs[i]; i += 1     # (steps, E)
         tr_rew_ref = refs[i]; i += 1
         tr_done_ref = refs[i]; i += 1
-    stats_ref = refs[i]; i += 1      # (tile, 8) f32 accumulators
+    stats_ref = refs[i]; i += 1          # (8, E)
 
     if use_tpu_prng:
         pltpu.prng_seed(scalar_ref[0], pl.program_id(0))
@@ -366,27 +378,27 @@ def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
     lw = [r[:] for r in learner_refs]
 
     def body(t, carry):
-        F, I, stats = carry
-        F2, I2, srow, emit = _one_step(
+        rows, stats = carry
+        rows, srow, emit = _one_step(
             params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
-            lw, opp_refs, F, I, t * jnp.int32(16),
+            lw, opp_refs, rows, t * jnp.int32(16),
         )
         if cfg["emit_transitions"]:
             obs8, next8, act_b, reward_b, done_i = emit
-            tr_obs_ref[:, pl.ds(t, 1), :] = obs8[:, None, :]
-            tr_next_ref[:, pl.ds(t, 1), :] = next8[:, None, :]
-            tr_act_ref[:, pl.ds(t, 1)] = act_b
-            tr_rew_ref[:, pl.ds(t, 1)] = reward_b
-            tr_done_ref[:, pl.ds(t, 1)] = done_i
-        return F2, I2, stats + srow
+            tr_obs_ref[pl.ds(t, 1)] = obs8[None]
+            tr_next_ref[pl.ds(t, 1)] = next8[None]
+            tr_act_ref[pl.ds(t, 1), :] = act_b
+            tr_rew_ref[pl.ds(t, 1), :] = reward_b
+            tr_done_ref[pl.ds(t, 1), :] = done_i
+        return rows, stats + srow
 
-    n = f_ref.shape[0]
-    stats0 = jnp.zeros((n, 8), jnp.float32)
-    F_fin, I_fin, stats_fin = jax.lax.fori_loop(
-        0, steps, body, (f_ref[:], i_ref[:], stats0)
-    )
-    out_f_ref[:] = F_fin
-    out_i_ref[:] = I_fin
+    E = f_ref.shape[1]
+    rows0 = _rows_from_blocks(f_ref[:], i_ref[:])
+    stats0 = jnp.zeros((8, E), jnp.float32)
+    rows_fin, stats_fin = jax.lax.fori_loop(0, steps, body, (rows0, stats0))
+    f_blk, i_blk = _blocks_from_rows(rows_fin)
+    out_f_ref[:] = f_blk
+    out_i_ref[:] = i_blk
     stats_ref[:] = stats_fin
 
 
@@ -404,11 +416,10 @@ def pallas_actor_rollout(
     steps: int,
     pool_ratio: float,
     max_episode_steps: int = 0,
-    tile_rows: int = 512,       # envs per kernel program
+    tile_rows: int = 512,       # envs per kernel program (multiple of 128)
     interpret: bool = None,
     emit_transitions: bool = True,
-    steps_per_cell: int = 8,    # grid-variant inner unroll (multiple of 8);
-                                # 8 is the TPU-validated config
+    steps_per_cell: int = 8,    # grid-variant inner unroll
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, transitions,
     stat_counts, ret_sum). transitions dict arrays are (T, B[, 7])."""
@@ -416,26 +427,26 @@ def pallas_actor_rollout(
         interpret = jax.default_backend() == "cpu"
     params = _static_params(env_params)
     B = state.ball_x.shape[0]
-    if B % tile_rows:
-        raise ValueError(f"batch {B} must be a multiple of {tile_rows}")
-    grid = (B // tile_rows,)
-    n_members = opponents.w1.shape[0]
+    E = tile_rows
+    if B % E:
+        raise ValueError(f"batch {B} must be a multiple of {E}")
+    n_members = opponents.w1t.shape[0]
 
-    zero = jnp.zeros((B, 1), jnp.float32)
+    zero = jnp.zeros((1, B), jnp.float32)
     F = jnp.concatenate(
-        [state.ball_x[:, None], state.ball_y[:, None],
-         state.ball_vx[:, None], state.ball_vy[:, None],
-         state.bottom_paddle_x[:, None], state.top_paddle_x[:, None],
-         state.spin[:, None], zero, ep_return[:, None]]
-        + [zero] * (F_COLS - 9),
-        axis=1,
+        [state.ball_x[None], state.ball_y[None],
+         state.ball_vx[None], state.ball_vy[None],
+         state.bottom_paddle_x[None], state.top_paddle_x[None],
+         state.spin[None], zero, ep_return[None]]
+        + [zero] * (F_ROWS - 9),
+        axis=0,
     )
-    zi = jnp.zeros((B, 1), jnp.int32)
+    zi = jnp.zeros((1, B), jnp.int32)
     I = jnp.concatenate(
-        [state.score_a[:, None], state.score_b[:, None],
-         state.bounce_count[:, None], state.t[:, None], opp_idx[:, None]]
-        + [zi] * (I_COLS - 5),
-        axis=1,
+        [state.score_a[None], state.score_b[None],
+         state.bounce_count[None], state.t[None], opp_idx[None]]
+        + [zi] * (I_ROWS - 5),
+        axis=0,
     )
     scalars = jnp.asarray(
         [jnp.int32(seed), (epsilon * 1e6).astype(jnp.int32),
@@ -449,80 +460,75 @@ def pallas_actor_rollout(
            "emit_transitions": bool(emit_transitions),
            "steps_per_cell": int(steps_per_cell)}
 
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if emit_transitions and not interpret:
-        # time-as-grid-dimension variant: 8 env steps per cell, state
-        # blocks revisited over the t axis, (tile, 8, 8) transition slabs.
-        # (Interpret mode keeps the single-program fori variant below: the
-        # interpreter re-executes the kernel per grid cell, which makes
-        # the grid form pathologically slow on CPU.)
         spc = steps_per_cell
         if steps % spc:
             raise ValueError(f"steps ({steps}) must be a multiple of {spc}")
-        grid = (B // tile_rows, steps // spc)
-        rb = lambda cols: pl.BlockSpec(
-            (tile_rows, cols), lambda i, t: (i, 0), memory_space=pltpu.VMEM
+        grid = (B // E, steps // spc)
+        rb = lambda rows_n: pl.BlockSpec(
+            (rows_n, E), lambda i, t: (0, i), memory_space=pltpu.VMEM
         )
-        slab = pl.BlockSpec((tile_rows, spc, 8), lambda i, t: (i, t, 0),
-                            memory_space=pltpu.VMEM)
-        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        slab3 = pl.BlockSpec((spc, 8, E), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM)
+        slab2 = pl.BlockSpec((spc, E), lambda i, t: (t, i),
+                             memory_space=pltpu.VMEM)
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [rb(F_COLS), rb(I_COLS)]
+            + [rb(F_ROWS), rb(I_ROWS)]
             + [full()] * 16
         )
         out_specs = [
-            rb(F_COLS), rb(I_COLS),
-            slab, slab, slab, slab, slab,
+            rb(F_ROWS), rb(I_ROWS),
+            slab3, slab3, slab2, slab2, slab2,
             rb(8),
         ]
         out_shape = [
-            sds((B, F_COLS), f32), sds((B, I_COLS), i32),
-            sds((B, steps, 8), f32), sds((B, steps, 8), f32),
-            sds((B, steps, 8), i32), sds((B, steps, 8), f32),
-            sds((B, steps, 8), i32),
-            sds((B, 8), f32),
+            sds((F_ROWS, B), f32), sds((I_ROWS, B), i32),
+            sds((steps, 8, B), f32), sds((steps, 8, B), f32),
+            sds((steps, B), i32), sds((steps, B), f32),
+            sds((steps, B), i32),
+            sds((8, B), f32),
         ]
         kernel = functools.partial(
             _actor_kernel_grid, params, cfg, n_members, not interpret
         )
-        slab_transitions = True
     else:
-        grid = (B // tile_rows,)
-        row_block = lambda cols: pl.BlockSpec(
-            (tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        grid = (B // E,)
+        rb = lambda rows_n: pl.BlockSpec(
+            (rows_n, E), lambda i: (0, i), memory_space=pltpu.VMEM
         )
-        t_block3 = pl.BlockSpec((tile_rows, steps, 8), lambda i: (i, 0, 0),
+        t_block3 = pl.BlockSpec((steps, 8, E), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)
-        t_block2 = pl.BlockSpec((tile_rows, steps), lambda i: (i, 0),
+        t_block2 = pl.BlockSpec((steps, E), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
-        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [row_block(F_COLS), row_block(I_COLS)]
+            + [rb(F_ROWS), rb(I_ROWS)]
             + [full()] * 16
         )
         if emit_transitions:
             out_specs = [
-                row_block(F_COLS), row_block(I_COLS),
+                rb(F_ROWS), rb(I_ROWS),
                 t_block3, t_block3, t_block2, t_block2, t_block2,
-                row_block(8),
+                rb(8),
             ]
             out_shape = [
-                sds((B, F_COLS), f32), sds((B, I_COLS), i32),
-                sds((B, steps, 8), f32), sds((B, steps, 8), f32),
-                sds((B, steps), i32), sds((B, steps), f32),
-                sds((B, steps), i32),
-                sds((B, 8), f32),
+                sds((F_ROWS, B), f32), sds((I_ROWS, B), i32),
+                sds((steps, 8, B), f32), sds((steps, 8, B), f32),
+                sds((steps, B), i32), sds((steps, B), f32),
+                sds((steps, B), i32),
+                sds((8, B), f32),
             ]
         else:
-            out_specs = [row_block(F_COLS), row_block(I_COLS), row_block(8)]
+            out_specs = [rb(F_ROWS), rb(I_ROWS), rb(8)]
             out_shape = [
-                sds((B, F_COLS), f32), sds((B, I_COLS), i32), sds((B, 8), f32),
+                sds((F_ROWS, B), f32), sds((I_ROWS, B), i32),
+                sds((8, B), f32),
             ]
         kernel = functools.partial(
             _actor_kernel, params, cfg, n_members, not interpret
         )
-        slab_transitions = False
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -537,31 +543,28 @@ def pallas_actor_rollout(
     else:
         F_out, I_out, stats = outs
     new_state = EnvState(
-        ball_x=F_out[:, FX], ball_y=F_out[:, FY],
-        ball_vx=F_out[:, FVX], ball_vy=F_out[:, FVY],
-        spin=F_out[:, FSPIN],
-        top_paddle_x=F_out[:, FTOP], bottom_paddle_x=F_out[:, FBOT],
-        score_a=I_out[:, ISA], score_b=I_out[:, ISB],
-        bounce_count=I_out[:, IBOUNCE], t=I_out[:, IT],
+        ball_x=F_out[FX], ball_y=F_out[FY],
+        ball_vx=F_out[FVX], ball_vy=F_out[FVY],
+        spin=F_out[FSPIN],
+        top_paddle_x=F_out[FTOP], bottom_paddle_x=F_out[FBOT],
+        score_a=I_out[ISA], score_b=I_out[ISB],
+        bounce_count=I_out[IBOUNCE], t=I_out[IT],
         done=jnp.zeros((B,), jnp.bool_),
     )
     if emit_transitions:
-        if slab_transitions:
-            action, reward, done = (tr_act[..., 0], tr_rew[..., 0],
-                                    tr_done[..., 0])
-        else:
-            action, reward, done = tr_act, tr_rew, tr_done
+        # (T, 8, B) -> (T, B, 7): one XLA transpose per chunk, off the
+        # kernel's critical path
         transitions = {
-            "obs": jnp.swapaxes(tr_obs[..., :7], 0, 1),    # (T, B, 7)
-            "action": action.T,
-            "reward": reward.T,
-            "next_obs": jnp.swapaxes(tr_next[..., :7], 0, 1),
-            "done": done.T.astype(bool),
+            "obs": jnp.swapaxes(tr_obs, 1, 2)[..., :7],
+            "action": tr_act,
+            "reward": tr_rew,
+            "next_obs": jnp.swapaxes(tr_next, 1, 2)[..., :7],
+            "done": tr_done.astype(bool),
         }
     else:
         transitions = None
-    stat_totals = jnp.sum(stats, axis=0)                   # (8,)
+    stat_totals = jnp.sum(stats, axis=1)                   # (8,)
     stat_counts = stat_totals[:4].astype(jnp.int32)
     ret_sum = stat_totals[4]
-    return (new_state, I_out[:, IOPP], F_out[:, FRET], transitions,
+    return (new_state, I_out[IOPP], F_out[FRET], transitions,
             stat_counts, ret_sum)

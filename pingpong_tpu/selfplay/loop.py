@@ -196,6 +196,29 @@ class QNetSelfPlay:
         """B (current learner) vs a uniform-per-game set of opponents."""
         if not params_a_list:
             return 1.0
+        if self.cfg.selfplay.swap_sides_eval:
+            # side-balanced gate: N/2 games per seating (the pallas eval
+            # path stays single-seat; the match runner handles both)
+            from pingpong_tpu.evaluation.match import eval_win_rate_balanced
+
+            stack_opp = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *params_a_list
+            )
+            stack_b = jax.tree_util.tree_map(
+                lambda x: x[None], self.state.params_b
+            )
+            self.key, k_idx, k_games = jax.random.split(self.key, 3)
+            idx_opp = jax.random.randint(
+                k_idx, (n_games,), 0, len(params_a_list)
+            ).astype(jnp.int32)
+            idx_b = jnp.zeros((n_games,), jnp.int32)
+            total, as_b, as_a = eval_win_rate_balanced(
+                self.match_fn, stack_opp, stack_b, idx_opp, idx_b,
+                k_games, n_games,
+            )
+            self.logger.log({"event": "eval_seats", "win_as_b": as_b,
+                             "win_as_a": as_a})
+            return total
         if self.cfg.use_pallas_eval:
             # fused-kernel episode streaming (>= n_games episodes); pool
             # eval splits the quota evenly across members
@@ -210,7 +233,8 @@ class QNetSelfPlay:
                     self.env_params, opp, self.state.params_b, k,
                     min_episodes=per,
                     n_envs=min(self.cfg.num_envs, 8192),
-                    tile_rows=self.cfg.pallas_tile_rows,
+                    tile_rows=min(self.cfg.pallas_tile_rows,
+                                  self.cfg.num_envs, 8192),
                 )
                 wins += wr * eps
                 total += eps

@@ -186,6 +186,21 @@ class DRQNSelfPlay:
         idx_a = jnp.repeat(jnp.arange(len(opponents), dtype=jnp.int32), per)
         idx_b = jnp.zeros((total,), jnp.int32)
         self.key, k_games = jax.random.split(self.key)
+        if self.cfg.selfplay.swap_sides_eval:
+            from pingpong_tpu.evaluation.match import eval_win_rate_balanced
+
+            # interleaved member order so each half-seating still covers
+            # every pool member evenly
+            idx_tiled = jnp.tile(
+                jnp.arange(len(opponents), dtype=jnp.int32), per
+            )
+            rate, as_b, as_a = eval_win_rate_balanced(
+                self.match_fn, stack_a, stack_b, idx_tiled, idx_b,
+                k_games, total,
+            )
+            self.logger.log({"event": "eval_seats", "win_as_b": as_b,
+                             "win_as_a": as_a})
+            return rate
         keys = jax.random.split(k_games, total)
         result = self.match_fn(stack_a, stack_b, idx_a, idx_b, keys)
         return float(jnp.mean(result.win_b.astype(jnp.float32)))

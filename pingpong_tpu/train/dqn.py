@@ -191,15 +191,10 @@ class DQNLearner:
             target_b=put_repl(state.target_b),
             opt_state=put_repl(state.opt_state),
             buffer=PERBuffer(
-                obs=jax.device_put(state.buffer.obs, batched),
-                action=jax.device_put(state.buffer.action, batched),
-                reward=jax.device_put(state.buffer.reward, batched),
-                next_obs=jax.device_put(state.buffer.next_obs, batched),
-                done=jax.device_put(state.buffer.done, batched),
+                data=jax.device_put(state.buffer.data, batched),
                 prios=jax.device_put(state.buffer.prios, batched),
                 p_alpha=jax.device_put(state.buffer.p_alpha, batched),
                 chunk_sums=put_if_divisible(state.buffer.chunk_sums),
-                chunk_max=put_if_divisible(state.buffer.chunk_max),
                 pos=jax.device_put(state.buffer.pos, repl),
                 size=jax.device_put(state.buffer.size, repl),
             ),
@@ -213,18 +208,35 @@ class DQNLearner:
         )
 
     # -- optimizer ---------------------------------------------------------
+    # The learner optimizes over the RAVELED parameter vector: the QNet is
+    # ~12 tiny leaves, and per-leaf Adam chains are ~50 serial kernels on
+    # the update loop's critical path (TPU executes kernels in order, so
+    # op count is wall-clock). One flat Adam is 1-2 fused kernels; the
+    # feature-freeze policy (train_iterative.py:96-104) becomes a 0/1 mask
+    # multiplied into the flat gradient — with zero gradients Adam's
+    # moments stay 0 and the update is exactly 0, identical to the
+    # multi_transform+set_to_zero formulation.
+    def _flat_util(self, params: QNetParams):
+        if getattr(self, "_unravel", None) is None:
+            from jax.flatten_util import ravel_pytree
+
+            flat, unravel = ravel_pytree(params)
+            self._unravel = unravel
+            mask = trainable_mask(params, self.cfg.train_heads_only)
+            self._grad_mask = ravel_pytree(
+                jax.tree_util.tree_map(
+                    lambda p, m: jnp.full(jnp.shape(p),
+                                          1.0 if m else 0.0, jnp.float32),
+                    params, mask,
+                )
+            )[0]
+        from jax.flatten_util import ravel_pytree
+
+        return ravel_pytree(params)[0], self._unravel
+
     def tx(self, params: QNetParams) -> optax.GradientTransformation:
         if self._tx is None:
-            mask = trainable_mask(params, self.cfg.train_heads_only)
-            labels = jax.tree_util.tree_map(
-                lambda m: "train" if m else "freeze", mask
-            )
-            # NB: optax.masked would pass raw gradients through on frozen
-            # leaves; multi_transform + set_to_zero actually freezes them.
-            self._tx = optax.multi_transform(
-                {"train": optax.adam(self.cfg.lr), "freeze": optax.set_to_zero()},
-                labels,
-            )
+            self._tx = optax.adam(self.cfg.lr)
         return self._tx
 
     # -- state init --------------------------------------------------------
@@ -247,11 +259,12 @@ class DQNLearner:
         # target must be a distinct buffer: the train state is donated to the
         # jitted iteration and XLA rejects donating one buffer twice.
         target_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        flat, _ = self._flat_util(params_b)
         return DQNTrainState(
             key=k_loop,
             params_b=params_b,
             target_b=target_b,
-            opt_state=self.tx(params_b).init(params_b),
+            opt_state=self.tx(params_b).init(flat),
             buffer=per_init(self.cfg.memory_size),
             env_state=env_state,
             opp_idx=jnp.zeros((self.cfg.num_envs,), jnp.int32),
@@ -266,10 +279,11 @@ class DQNLearner:
         """The reference's ``reset_B()`` (train_iterative.py:213-224): fresh
         learner weights, fresh optimizer/target/buffer, epsilon back to 1."""
         params_b = jax.tree_util.tree_map(jnp.copy, params_b)
+        flat, _ = self._flat_util(params_b)
         return state._replace(
             params_b=params_b,
             target_b=jax.tree_util.tree_map(jnp.copy, params_b),
-            opt_state=self.tx(params_b).init(params_b),
+            opt_state=self.tx(params_b).init(flat),
             buffer=per_init(self.cfg.memory_size),
             epsilon=jnp.float32(1.0),
             train_steps=jnp.int32(0),
@@ -304,7 +318,7 @@ class DQNLearner:
             steps=cfg.rollout_length,
             pool_ratio=cfg.selfplay.opponent_pool_ratio,
             max_episode_steps=self.env_cfg.max_episode_steps,
-            tile_rows=cfg.pallas_tile_rows,
+            tile_rows=min(cfg.pallas_tile_rows, cfg.num_envs),
         )
         flat = Transition(
             obs=tr["obs"].reshape(-1, tr["obs"].shape[-1]),
@@ -427,70 +441,98 @@ class DQNLearner:
 
     # -- learner update ----------------------------------------------------
     def _update(self, state: DQNTrainState):
+        """K Double-DQN updates. The scan carries the RAVELED online/target
+        parameter vectors (see the optimizer note above): per-leaf pytree
+        ops are ~50 serial kernels per update on a latency-bound chain."""
         cfg = self.cfg
+        flat_b0, unravel = self._flat_util(state.params_b)
+        flat_t0, _ = self._flat_util(state.target_b)
+        grad_mask = self._grad_mask
+        bs = cfg.batch_size
+        K = cfg.updates_per_iteration
 
-        def do_update(st: DQNTrainState):
-            key, k_sample, k_noise = jax.random.split(st.key, 3)
-            frame = st.frame_idx + 1
+        # Everything that does not depend on the evolving carry is drawn
+        # ONCE, batched over the K updates, and fed through scan's xs —
+        # PRNG kernels and noise construction would otherwise sit on the
+        # serialized chain (~1.5 us of launch latency per kernel).
+        key, k_noise, k_u = jax.random.split(state.key, 3)
+        noise_all = jax.vmap(
+            lambda k: qnet_sample_noise(k, state.params_b)
+        )(jax.random.split(k_noise, K))
+        # slot 1 = zero noise for the target net's mu-only forward
+        noise2_all = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=1), noise_all
+        )
+        u_all = jax.random.uniform(k_u, (K, bs), jnp.float32)
+
+        def do_update(carry, xs):
+            flat_b, flat_t, opt_state, buffer, train_steps, frame = carry
+            noise2, u01 = xs
+            frame = frame + 1
             beta = beta_schedule(frame, cfg.per_beta_start, cfg.per_beta_frames)
-            sample = per_sample(st.buffer, k_sample, cfg.batch_size, beta)
-            noise = qnet_sample_noise(k_noise, st.params_b)
+            sample = per_sample(buffer, None, bs, beta, u01=u01)
             tr = sample.batch
+            d = buffer.obs_dim
+            # dual-net forward: online (rows 0) + target (rows 1) stacked
+            # into ONE batched apply — halves the serialized matmul count.
+            # Packed sample rows make the (s, s') concat a plain reshape
+            # (interleaved (obs_i, next_i) row pairs); the target lane
+            # wastes half its rows on a duplicate, which is cheaper than a
+            # second kernel chain.
+            pairs = sample.data[:, : 2 * d].reshape(2 * bs, d)
+            nexts = sample.data[:, d: 2 * d]
+            x2 = jnp.stack([pairs, jnp.concatenate([nexts, nexts])])
 
-            bs = cfg.batch_size
-
-            def loss_fn(params):
-                # one fused forward for (s, s') — same params, same noise
-                # (the reference refreshes noise once per train step and
-                # uses it for both forwards, train_iterative.py:141-155)
-                q_both = qnet_apply(
-                    params, jnp.concatenate([tr.obs, tr.next_obs]), noise
-                )
-                q = q_both[:bs]
+            def loss_fn(flat):
+                both = jax.vmap(unravel)(jnp.stack([flat, flat_t]))
+                q2 = jax.vmap(qnet_apply)(both, x2, noise2)
+                q = q2[0, 0::2]
                 q_a = jnp.take_along_axis(q, tr.action[:, None], axis=-1)[:, 0]
-                # Double DQN: online-net argmax (argmax is int — no grad path)
-                na = jnp.argmax(q_both[bs:], axis=-1)
-                q_next_target = qnet_apply(st.target_b, tr.next_obs)
-                nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
+                # Double DQN: online-net argmax (int — no grad path)
+                na = jnp.argmax(q2[0, 1::2], axis=-1)
+                nq = jnp.take_along_axis(q2[1, :bs], na[:, None], axis=-1)[:, 0]
                 y = tr.reward + cfg.gamma * nq * (1.0 - tr.done.astype(jnp.float32))
                 td = q_a - jax.lax.stop_gradient(y)
                 loss = jnp.mean(sample.weights * td * td)
                 return loss, jnp.abs(td)
 
             (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params_b
+                flat_b
             )
-            tx = self.tx(st.params_b)
-            updates, opt_state = tx.update(grads, st.opt_state, st.params_b)
-            params_b = optax.apply_updates(st.params_b, updates)
+            tx = self.tx(None)
+            updates, opt_state = tx.update(grads * grad_mask, opt_state, flat_b)
+            flat_b = optax.apply_updates(flat_b, updates)
             buffer = per_update_priorities(
-                st.buffer, sample.indices, td_abs, cfg.per_alpha, cfg.per_eps
+                buffer, sample.indices, td_abs, cfg.per_alpha, cfg.per_eps
             )
-            train_steps = st.train_steps + 1
+            train_steps = train_steps + 1
             sync = (train_steps % cfg.target_update_interval) == 0
-            target_b = jax.tree_util.tree_map(
-                lambda b, t: jnp.where(sync, b, t), params_b, st.target_b
-            )
-            return st._replace(
-                key=key,
-                params_b=params_b,
-                target_b=target_b,
-                opt_state=opt_state,
-                buffer=buffer,
-                train_steps=train_steps,
-                frame_idx=frame,
-            ), loss
+            flat_t = jnp.where(sync, flat_b, flat_t)
+            return (flat_b, flat_t, opt_state, buffer, train_steps,
+                    frame), loss
 
-        def skip(st: DQNTrainState):
-            return st, jnp.float32(0.0)
+        def skip(carry, xs):
+            return carry, jnp.float32(0.0)
 
-        def scan_fn(st, _):
-            ready = st.buffer.size >= cfg.batch_size
-            st, loss = jax.lax.cond(ready, do_update, skip, st)
-            return st, (loss, ready)
+        def scan_fn(carry, xs):
+            ready = carry[3].size >= cfg.batch_size
+            carry, loss = jax.lax.cond(ready, do_update, skip, carry, xs)
+            return carry, (loss, ready)
 
-        state, (losses, ran) = jax.lax.scan(
-            scan_fn, state, None, length=cfg.updates_per_iteration
+        carry0 = (flat_b0, flat_t0, state.opt_state, state.buffer,
+                  state.train_steps, state.frame_idx)
+        carry, (losses, ran) = jax.lax.scan(
+            scan_fn, carry0, (noise2_all, u_all), length=K
+        )
+        flat_b, flat_t, opt_state, buffer, train_steps, frame = carry
+        state = state._replace(
+            key=key,
+            params_b=unravel(flat_b),
+            target_b=unravel(flat_t),
+            opt_state=opt_state,
+            buffer=buffer,
+            train_steps=train_steps,
+            frame_idx=frame,
         )
         n_ran = jnp.sum(ran.astype(jnp.int32))
         mean_loss = jnp.sum(losses) / jnp.maximum(n_ran.astype(jnp.float32), 1.0)

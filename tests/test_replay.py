@@ -56,25 +56,43 @@ def test_mixed_push_sizes_misaligned_cursor_wraps_correctly():
 
 
 def test_chunk_summaries_consistent():
-    buf = per_init(4096)  # chunk = 1024, 4 chunks
+    buf = per_init(4096)
+    n_chunks = buf.chunk_sums.shape[0]
     buf = per_push(buf, make_batch(1500), A)
+    # duplicate indices exercise the incremental dedup path: each slot's
+    # delta must count exactly once
     buf = per_update_priorities(
-        buf, jnp.asarray([0, 700, 1400]), jnp.asarray([2.0, 3.0, 4.0]), A
+        buf, jnp.asarray([0, 700, 1400, 700, 0]),
+        jnp.asarray([2.0, 3.0, 4.0, 9.0, 5.0]), A
     )
     p_alpha = np.asarray(buf.p_alpha)
-    sums = p_alpha.reshape(4, 1024).sum(axis=1)
-    np.testing.assert_allclose(np.asarray(buf.chunk_sums), sums, rtol=1e-5)
-    maxs = np.asarray(buf.prios).reshape(4, 1024).max(axis=1)
-    np.testing.assert_allclose(np.asarray(buf.chunk_max), maxs, rtol=1e-6)
+    sums = p_alpha.reshape(n_chunks, -1).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(buf.chunk_sums), sums, rtol=1e-4)
+
+
+def test_push_max_stamp_tracks_decreases():
+    """The push stamp is the true max over priorities — it must DROP after
+    updates lower the previous max (ref: prios.max() per push)."""
+    buf = per_init(8)
+    buf = per_push(buf, make_batch(4), A)
+    buf = per_update_priorities(buf, jnp.asarray([1]), jnp.asarray([9.0]), A)
+    buf = per_push(buf, make_batch(2, start=50), A)
+    np.testing.assert_allclose(np.asarray(buf.prios[4:6]), 9.0 + 1e-6)
+    # lower every priority below 1.0, next push stamps the new (lower) max
+    buf = per_update_priorities(
+        buf, jnp.arange(6), jnp.full((6,), 0.25), A, eps=0.0
+    )
+    buf = per_push(buf, make_batch(2, start=60), A)
+    np.testing.assert_allclose(np.asarray(buf.prios[6:8]), 0.25)
 
 
 def test_push_larger_than_chunk_wraps_summaries():
     buf = per_init(2048)
+    n_chunks = buf.chunk_sums.shape[0]
     buf = per_push(buf, make_batch(2000), A)
     buf = per_push(buf, make_batch(1500, start=5000), A)  # wraps
     p_alpha = np.asarray(buf.p_alpha)
-    chunk = 1024
-    sums = p_alpha.reshape(-1, chunk).sum(axis=1)
+    sums = p_alpha.reshape(n_chunks, -1).sum(axis=1)
     np.testing.assert_allclose(np.asarray(buf.chunk_sums), sums, rtol=1e-5)
     assert int(buf.pos) == (2000 + 1500) % 2048
 

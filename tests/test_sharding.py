@@ -47,7 +47,7 @@ def test_sharded_train_iteration_matches_semantics():
     # env batch really is split over the data axis
     shard0 = state.env_state.ball_x.sharding
     assert shard0.is_equivalent_to(data_sharding(mesh), ndim=1)
-    assert state.buffer.obs.sharding.spec == P("data")
+    assert state.buffer.data.sharding.spec == P("data")
 
     params_a = qnet_init(jax.random.PRNGKey(1))
     opp, n = stack_opponents(params_a, [], cfg.pool_max)
