@@ -27,6 +27,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--workdir", default=".", help="working directory for outputs")
     p.add_argument("--seed", type=int, default=None, help="override config seed")
     p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize() before backend init; "
+        "checkpoints/plots/logs are written by host 0 only",
+    )
+    p.add_argument(
         "overrides", nargs="*", default=[],
         help="dotted config overrides, e.g. dqn.num_envs=8192",
     )
@@ -42,20 +47,40 @@ def _load(args):
     return cfg
 
 
+def _distributed_setup(args) -> bool:
+    """--distributed: wire DCN BEFORE any jax use (multi-host SPMD).
+    Returns True when this process is the writer (host 0)."""
+    if getattr(args, "distributed", False):
+        from pingpong_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+    from pingpong_tpu.parallel.mesh import is_coordinator
+
+    return is_coordinator()
+
+
 def cmd_train(args) -> int:
     cfg = _load(args)
+    coordinator = _distributed_setup(args)
     from pingpong_tpu.selfplay.loop import QNetSelfPlay
     from pingpong_tpu.utils.metrics import MetricsLogger
 
-    logger = MetricsLogger(log_path=f"{args.workdir}/train_qnet_metrics.jsonl")
+    logger = MetricsLogger(
+        log_path=f"{args.workdir}/train_qnet_metrics.jsonl"
+        if coordinator else None,
+        echo=coordinator,
+    )
     driver = QNetSelfPlay(
         cfg.env, cfg.dqn, workdir=args.workdir, seed=cfg.seed, logger=logger,
         mesh_cfg=cfg.mesh,
     )
     records = driver.run()
     promoted = sum(1 for r in records if r.promoted)
-    print(f"done: {promoted}/{len(records)} generations promoted")
+    if coordinator:
+        print(f"done: {promoted}/{len(records)} generations promoted")
     try:
+        if not coordinator:
+            raise RuntimeError("plots are host-0 only")
         from pingpong_tpu.utils.plotting import (
             plot_reward_history,
             plot_selfplay_records,
@@ -69,24 +94,33 @@ def cmd_train(args) -> int:
             title="QNet self-play: mean episode reward (B)",
         )
     except Exception as e:  # plotting must never fail the run
-        print(f"[warn] plot failed: {e}", file=sys.stderr)
+        if coordinator:
+            print(f"[warn] plot failed: {e}", file=sys.stderr)
     return 0
 
 
 def cmd_train_rnn(args) -> int:
     cfg = _load(args)
+    coordinator = _distributed_setup(args)
     from pingpong_tpu.selfplay.loop_rnn import DRQNSelfPlay
     from pingpong_tpu.utils.metrics import MetricsLogger
 
-    logger = MetricsLogger(log_path=f"{args.workdir}/train_rnn_metrics.jsonl")
+    logger = MetricsLogger(
+        log_path=f"{args.workdir}/train_rnn_metrics.jsonl"
+        if coordinator else None,
+        echo=coordinator,
+    )
     driver = DRQNSelfPlay(
         cfg.env, cfg.drqn, workdir=args.workdir, seed=cfg.seed, logger=logger,
         mesh_cfg=cfg.mesh,
     )
     records = driver.run()
     promoted = sum(1 for r in records if r.promoted)
-    print(f"done: {promoted}/{len(records)} generations promoted")
+    if coordinator:
+        print(f"done: {promoted}/{len(records)} generations promoted")
     try:
+        if not coordinator:
+            raise RuntimeError("plots are host-0 only")
         from pingpong_tpu.utils.plotting import plot_reward_history
 
         plot_reward_history(
@@ -95,7 +129,8 @@ def cmd_train_rnn(args) -> int:
             title="DRQN self-play: mean episode reward (B)",
         )
     except Exception as e:
-        print(f"[warn] plot failed: {e}", file=sys.stderr)
+        if coordinator:
+            print(f"[warn] plot failed: {e}", file=sys.stderr)
     return 0
 
 

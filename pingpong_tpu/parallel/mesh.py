@@ -66,15 +66,35 @@ def replicate(tree, mesh: Mesh):
     )
 
 
-def initialize_distributed() -> None:
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Multi-host bring-up (no-op single-host).
 
     On a pod slice, call before any jax op: reads the cluster env
-    (coordinator address, process count) and wires DCN. All subsequent
-    ``jax.devices()`` spans the full slice and the same mesh code scales.
+    (coordinator address, process count — or takes them explicitly) and
+    wires DCN. All subsequent ``jax.devices()`` spans the full slice and
+    the same mesh code scales. Reached via ``--distributed`` on the train
+    CLIs (tests drive it explicitly across real OS processes,
+    tests/test_distributed.py).
     """
     try:
-        jax.distributed.initialize()
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process / already initialized
         pass
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns checkpoint/DB/plot writes (host 0).
+    Single-process runs are always the coordinator."""
+    return jax.process_index() == 0

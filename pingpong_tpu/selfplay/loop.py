@@ -153,7 +153,10 @@ class QNetSelfPlay:
     # -- full-state autosave / restore --------------------------------------
     def autosave(self) -> str:
         from pingpong_tpu.checkpoint.orbax_io import autosave_full_state
+        from pingpong_tpu.parallel.mesh import is_coordinator
 
+        if not is_coordinator():   # host-0 owns all checkpoint writes
+            return str(self.ckpt_dir / self.cfg.latest_checkpoint_filename)
         path = autosave_full_state(
             self.ckpt_dir / self.cfg.latest_checkpoint_filename,
             self.state, self.params_a, self.key,
@@ -256,7 +259,10 @@ class QNetSelfPlay:
 
     def _save(self, name: str, generation: int) -> str:
         from pingpong_tpu.checkpoint.serialize import opt_state_to_leaves
+        from pingpong_tpu.parallel.mesh import is_coordinator
 
+        if not is_coordinator():   # host-0 owns all checkpoint writes
+            return str(self.ckpt_dir / name)
         payload = {
             "params_b": qnet_to_dict(jax.device_get(self.state.params_b)),
             "params_a": qnet_to_dict(jax.device_get(self.params_a)),

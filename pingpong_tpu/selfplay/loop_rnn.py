@@ -136,7 +136,10 @@ class DRQNSelfPlay:
         frozen A and the host key (exceeds ref :630-667, which loses the
         replay memory on restart)."""
         from pingpong_tpu.checkpoint.orbax_io import autosave_full_state
+        from pingpong_tpu.parallel.mesh import is_coordinator
 
+        if not is_coordinator():   # host-0 owns all checkpoint writes
+            return str(self.ckpt_dir / self.cfg.latest_checkpoint_filename)
         path = autosave_full_state(
             self.ckpt_dir / self.cfg.latest_checkpoint_filename,
             self.state, self.params_a, self.key,
@@ -206,6 +209,10 @@ class DRQNSelfPlay:
         return float(jnp.mean(result.win_b.astype(jnp.float32)))
 
     def _save(self, name: str, generation: int) -> str:
+        from pingpong_tpu.parallel.mesh import is_coordinator
+
+        if not is_coordinator():   # host-0 owns all checkpoint writes
+            return str(self.ckpt_dir / name)
         payload = {
             "params_b": qnet_rnn_to_dict(jax.device_get(self.state.params_b)),
             "params_a": qnet_rnn_to_dict(jax.device_get(self.params_a)),
