@@ -48,45 +48,138 @@ class Renderer(abc.ABC):
         ...
 
 
-class CollisionEffects:
-    """Expanding-ring flash on paddle impacts — the lightweight analog of
-    the reference's effect system (pingpong_viewer/rendering/effects.py:
-    CollisionEffect/EffectManager). An impact is detected when the ball is
-    snapped exactly onto a paddle line (env/pong.py sets y to 0.0 / 1.0 on
-    a hit)."""
+class Effect:
+    """Base effect: position + remaining lifetime (analog of the
+    reference's pingpong_viewer/rendering/effects.py:10-25)."""
 
-    LIFETIME = 8
+    def __init__(self, x: float, y: float, lifetime: int):
+        self.x = x
+        self.y = y
+        self.age = 0
+        self.lifetime = lifetime
+
+    def update(self) -> None:
+        self.age += 1
+
+    @property
+    def alive(self) -> bool:
+        return self.age <= self.lifetime
+
+    @property
+    def fade(self) -> float:
+        return max(0.0, 1.0 - self.age / max(self.lifetime, 1))
+
+
+class CollisionEffect(Effect):
+    """Expanding-ring flash on paddle impacts (ref effects.py:27-52)."""
+
+    def __init__(self, x: float, y: float):
+        super().__init__(x, y, lifetime=8)
+
+    def draw(self, d) -> None:
+        r = 10 + self.age * 3
+        c = int(255 * self.fade)
+        d.ellipse([self.x - r, self.y - r, self.x + r, self.y + r],
+                  outline=(c, c, 80), width=2)
+
+
+class ParticleEffect(Effect):
+    """A spark flying off an impact point with simple ballistic motion
+    (ref effects.py:54-70)."""
+
+    def __init__(self, x: float, y: float, vx: float, vy: float):
+        super().__init__(x, y, lifetime=14)
+        self.vx = vx
+        self.vy = vy
+
+    def update(self) -> None:
+        super().update()
+        self.x += self.vx
+        self.y += self.vy
+        self.vy += 0.35          # gravity-ish pull, like the reference
+        self.vx *= 0.96
+
+    def draw(self, d) -> None:
+        r = max(1, int(3 * self.fade))
+        c = (int(255 * self.fade), int(200 * self.fade), int(90 * self.fade))
+        d.ellipse([self.x - r, self.y - r, self.x + r, self.y + r], fill=c)
+
+
+class EffectManager:
+    """Owns all live effects; spawns a ring + a deterministic particle
+    burst per paddle impact (ref effects.py:72-118). An impact is detected
+    when the ball is snapped exactly onto a paddle line (env/pong.py sets
+    y to 0.0 / 1.0 on a hit)."""
+
+    N_PARTICLES = 10
 
     def __init__(self):
-        self.active = []  # (x_px, y_px, age)
+        self.effects = []
 
-    def update(self, traj: Trajectory, t: int, size: int):
+    def add_collision(self, x: float, y: float) -> None:
+        self.effects.append(CollisionEffect(x, y))
+        # deterministic burst (no RNG state: angle from particle index,
+        # speed jitter from the impact position)
+        down = 1.0 if y < 1 else -1.0
+        for i in range(self.N_PARTICLES):
+            a = math.pi * (0.15 + 0.7 * i / (self.N_PARTICLES - 1))
+            speed = 2.0 + 2.5 * (((x * 7919) % 97) / 97.0 + i % 3) / 3.0
+            self.effects.append(ParticleEffect(
+                x, y, speed * math.cos(a), down * speed * math.sin(a)
+            ))
+
+    def update(self, traj: Trajectory, t: int, size: int) -> None:
         y = float(traj.ball_y[t])
         if y == 0.0 or y == 1.0:
-            self.active.append(
-                [int(float(traj.ball_x[t]) * size), int(y * size), 0]
-            )
-        self.active = [
-            [x, y2, age + 1] for x, y2, age in self.active
-            if age + 1 <= self.LIFETIME
-        ]
+            self.add_collision(float(traj.ball_x[t]) * size, y * size)
+        for e in self.effects:
+            e.update()
+        self.effects = [e for e in self.effects if e.alive]
 
-    def draw(self, d):
-        for x, y, age in self.active:
-            r = 10 + age * 3
-            fade = max(0, 255 - age * 30)
-            d.ellipse([x - r, y - r, x + r, y + r],
-                      outline=(fade, fade, 80), width=2)
+    def draw(self, d) -> None:
+        for e in self.effects:
+            e.draw(d)
+
+    @property
+    def active_count(self) -> int:
+        return len(self.effects)
+
+
+# Backwards-compatible alias (pre-particle name)
+CollisionEffects = EffectManager
+
+
+def make_ball_sprite(radius: int = BALL_PX_R):
+    """Procedurally drawn rotatable ball sprite (the reference rotates an
+    image asset by the accumulated spin angle, test_viewer.py:282-293 /
+    assets/sunglasses.png; we draw our own two-tone ball so the rotation
+    reads visually without shipping binary assets)."""
+    from PIL import Image, ImageDraw
+
+    s = radius * 2 + 2
+    img = Image.new("RGBA", (s, s), (0, 0, 0, 0))
+    d = ImageDraw.Draw(img)
+    c = s // 2
+    d.ellipse([c - radius, c - radius, c + radius, c + radius],
+              fill=(245, 245, 245, 255))
+    # two opposing colored wedges make the rotation visible
+    d.pieslice([c - radius, c - radius, c + radius, c + radius],
+               start=-30, end=30, fill=(255, 120, 60, 255))
+    d.pieslice([c - radius, c - radius, c + radius, c + radius],
+               start=150, end=210, fill=(80, 150, 255, 255))
+    d.ellipse([c - 2, c - 2, c + 2, c + 2], fill=(20, 20, 30, 255))
+    return img
 
 
 class FrameRenderer(Renderer):
     """Headless RGB frame rendering via PIL."""
 
-    def __init__(self):
+    def __init__(self, ball_sprite: bool = True):
         from PIL import Image, ImageDraw  # noqa: F401  (import check)
 
         self.spin_angle = 0.0
-        self.effects = CollisionEffects()
+        self.effects = EffectManager()
+        self.sprite = make_ball_sprite() if ball_sprite else None
 
     def render_frame(self, traj, t, paddle_width, size=400):
         from PIL import Image, ImageDraw
@@ -109,24 +202,30 @@ class FrameRenderer(Renderer):
 
         bx = int(traj.ball_x[t] * size)
         by = int(traj.ball_y[t] * size)
-        d.ellipse(
-            [bx - BALL_PX_R, by - BALL_PX_R, bx + BALL_PX_R, by + BALL_PX_R],
-            fill=BALL,
-        )
-
-        # rotating spin cross (ref my_pong_env_2p.py:281-294 / viewer)
+        # accumulated spin angle drives the ball rotation (ref
+        # test_viewer.py:282-293 rotates the ball image the same way)
         self.spin_angle += float(traj.spin[t])
-        rc = BALL_PX_R - 2
-        for off in (0.0, 90.0):
-            a = math.radians(self.spin_angle + off)
-            d.line(
-                [
-                    (bx + rc * math.cos(a), by + rc * math.sin(a)),
-                    (bx - rc * math.cos(a), by - rc * math.sin(a)),
-                ],
-                fill=SPIN_CROSS,
-                width=2,
+        if self.sprite is not None:
+            rot = self.sprite.rotate(-self.spin_angle, resample=0)
+            img.paste(rot, (bx - rot.width // 2, by - rot.height // 2), rot)
+        else:
+            d.ellipse(
+                [bx - BALL_PX_R, by - BALL_PX_R,
+                 bx + BALL_PX_R, by + BALL_PX_R],
+                fill=BALL,
             )
+            # rotating spin cross (ref my_pong_env_2p.py:281-294 / viewer)
+            rc = BALL_PX_R - 2
+            for off in (0.0, 90.0):
+                a = math.radians(self.spin_angle + off)
+                d.line(
+                    [
+                        (bx + rc * math.cos(a), by + rc * math.sin(a)),
+                        (bx - rc * math.cos(a), by - rc * math.sin(a)),
+                    ],
+                    fill=SPIN_CROSS,
+                    width=2,
+                )
 
         self.effects.update(traj, t, size)
         self.effects.draw(d)

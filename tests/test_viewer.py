@@ -50,6 +50,58 @@ def test_render_gif(tmp_path):
     assert img.n_frames > 1
 
 
+def test_effect_manager_spawns_and_decays_particles():
+    from pingpong_tpu.viewer.render import EffectManager
+
+    m = EffectManager()
+    m.add_collision(100.0, 0.0)
+    # one ring + N particles
+    assert m.active_count == 1 + EffectManager.N_PARTICLES
+    for e in list(m.effects):
+        x0 = e.x
+        e.update()
+    # particles moved, everything still alive after one tick
+    assert any(e.x != 100.0 for e in m.effects)
+    for _ in range(40):
+        for e in m.effects:
+            e.update()
+        m.effects = [e for e in m.effects if e.alive]
+    assert m.active_count == 0
+
+
+def test_ball_sprite_rotates_with_spin():
+    """The ball sprite angle accumulates spin (ref test_viewer.py:282-293):
+    frames of a spinning ball must differ at the ball pixels."""
+    from pingpong_tpu.viewer.render import FrameRenderer, make_ball_sprite
+
+    spr = make_ball_sprite()
+    assert spr.size[0] > 8 and spr.mode == "RGBA"
+    traj = record_episode(ENVP, BOT_ENTRY, BOT_ENTRY, jax.random.PRNGKey(3),
+                          max_steps=50)
+    r = FrameRenderer(ball_sprite=True)
+    f1 = r.render_frame(traj, 5, 0.2, 200)
+    a1 = float(r.spin_angle)
+    r2 = FrameRenderer(ball_sprite=True)
+    # render the same frame but with a different accumulated angle
+    r2.spin_angle = a1 + 90.0
+    f2 = r2.render_frame(traj, 5, 0.2, 200)
+    assert (f1 != f2).any()
+
+
+def test_speed_slider_mapping():
+    from pingpong_tpu.viewer.pygame_ui import SPEED_MAX, SPEED_MIN, SpeedSlider
+
+    s = SpeedSlider(x=60, y=400, w=280, value=1.0)
+    assert s._value_from_px(60) == SPEED_MIN
+    assert abs(s._value_from_px(60 + 280) - SPEED_MAX) < 1e-9
+    # round trip: handle position maps back to the value
+    s.value = 2.5
+    assert abs(s._value_from_px(s.handle_px()) - 2.5) < 0.05
+    # clamped outside the track
+    assert s._value_from_px(-100) == SPEED_MIN
+    assert abs(s._value_from_px(10_000) - SPEED_MAX) < 1e-9
+
+
 def test_run_viewer_with_checkpoint(tmp_path):
     save_checkpoint(tmp_path / "m1", {"params_b": qnet_to_dict(
         qnet_init(jax.random.PRNGKey(0)))})
