@@ -106,8 +106,17 @@ def run_tournament(
     match_plan: List[Dict],
     key,
     swap_sides: bool = False,
+    batched: bool = True,
 ) -> None:
+    """``batched=True`` launches every remaining pairing as a handful of
+    stacked device programs (one per policy-family pair) instead of one
+    dispatch per pairing — results are bit-identical; the crash-safe DB
+    save granularity becomes one save per batch instead of per pair
+    (the reference saved per EPISODE, arena.py:310-319; per-pair was
+    already this framework's documented deviation)."""
     entries = _entries_from_db(database)
+    jobs = []
+    job_pair = []
     for item in match_plan:
         a = entries[item["p1_id"]]
         b = entries[item["p2_id"]]
@@ -116,28 +125,43 @@ def run_tournament(
             seatings = [(a, b, n // 2), (b, a, n - n // 2)]
         else:
             seatings = [(a, b, n)]
-        wins = {a.id: 0, b.id: 0}
         for top, bottom, m in seatings:
             if m == 0:
                 continue
+            jobs.append((top, bottom, m))
+            job_pair.append((a.id, b.id, n))
+
+    if batched and jobs:
+        played = runner.play_pairs_batched(jobs, key)
+    else:
+        played = []
+        for top, bottom, m in jobs:
             key, k_match = jax.random.split(key)
-            res = runner.play(top, bottom, m, k_match)
-            sa = np.asarray(res.score_a)
-            sb = np.asarray(res.score_b)
-            now = datetime.now(timezone.utc).isoformat()
-            for g in range(m):
-                winner = (top.id if sa[g] > sb[g]
-                          else (bottom.id if sb[g] > sa[g] else "draw"))
-                database["match_history"].append({
-                    "p1": top.id, "p2": bottom.id, "winner": winner,
-                    "p1_score": int(sa[g]), "p2_score": int(sb[g]),
-                    "timestamp": now,
-                })
-            wins[top.id] += int(np.sum(sa > sb))
-            wins[bottom.id] += int(np.sum(sb > sa))
-        save_database(db_path, database)  # crash-safe resume point per pair
-        print(f"[arena] {a.id} vs {b.id}: +{n} games "
-              f"({wins[a.id]}-{wins[b.id]})"
+            played.append((top, bottom, runner.play(top, bottom, m, k_match)))
+
+    wins: Dict = {}
+    for (top, bottom, res), (aid, bid, n) in zip(played, job_pair):
+        sa = np.asarray(res.score_a)
+        sb = np.asarray(res.score_b)
+        now = datetime.now(timezone.utc).isoformat()
+        for g in range(len(sa)):
+            winner = (top.id if sa[g] > sb[g]
+                      else (bottom.id if sb[g] > sa[g] else "draw"))
+            database["match_history"].append({
+                "p1": top.id, "p2": bottom.id, "winner": winner,
+                "p1_score": int(sa[g]), "p2_score": int(sb[g]),
+                "timestamp": now,
+            })
+        w = wins.setdefault((aid, bid), {aid: 0, bid: 0})
+        w[top.id] += int(np.sum(sa > sb))
+        w[bottom.id] += int(np.sum(sb > sa))
+        if not batched:
+            save_database(db_path, database)  # resume point per pair
+    if batched and jobs:
+        save_database(db_path, database)      # resume point per batch
+    for (aid, bid, n) in dict.fromkeys(job_pair):
+        w = wins[(aid, bid)]
+        print(f"[arena] {aid} vs {bid}: +{n} games ({w[aid]}-{w[bid]})"
               + (" [side-balanced]" if swap_sides else ""))
 
 

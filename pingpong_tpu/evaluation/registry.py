@@ -104,3 +104,72 @@ class MatchRunner:
         idx = jnp.zeros((n_games,), jnp.int32)
         keys = jax.random.split(key, n_games)
         return fn(stack(a.params), stack(b.params), idx, idx, keys)
+
+    def play_pairs_batched(self, jobs, key):
+        """ALL pairings in a handful of device programs.
+
+        ``jobs``: list of ``(a: ModelEntry, b: ModelEntry, n_games)``.
+        Games are grouped by (kind_a, kind_b) policy-family pair — each
+        group stacks every distinct entry's params once and launches ONE
+        batched match program with per-game (i, j) stack indices, instead
+        of one dispatch per pairing (the reference plays every episode of
+        every pairing in a host loop, /root/reference/tests/arena.py:
+        246-320). Per-game PRNG keys are derived exactly as the sequential
+        path derives them (one split per job in job order), so results are
+        BIT-IDENTICAL to ``play`` called per job.
+
+        Returns ``[(a, b, MatchResult), ...]`` in job order.
+        """
+        import numpy as np
+
+        # per-job keys, identical to the sequential derivation
+        job_keys = []
+        for _ in jobs:
+            key, k_match = jax.random.split(key)
+            job_keys.append(k_match)
+
+        groups: Dict[Tuple[int, int], list] = {}
+        for j, (a, b, n) in enumerate(jobs):
+            load_entry(a)
+            load_entry(b)
+            groups.setdefault((a.kind, b.kind), []).append(j)
+
+        results = [None] * len(jobs)
+        for (kind_a, kind_b), job_ids in groups.items():
+            # one stack per side; slot per distinct entry id
+            def build_side(pick, kind):
+                slot_of, stacks = {}, []
+                for j in job_ids:
+                    e = pick(jobs[j])
+                    if e.id not in slot_of:
+                        slot_of[e.id] = len(stacks)
+                        stacks.append(e.params)
+                stacked = (
+                    None if kind == BOT else jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *stacks)
+                )
+                return slot_of, stacked
+
+            slot_a, stack_a = build_side(lambda job: job[0], kind_a)
+            slot_b, stack_b = build_side(lambda job: job[1], kind_b)
+
+            idx_a, idx_b, keys, offsets = [], [], [], {}
+            total = 0
+            for j in job_ids:
+                a, b, n = jobs[j]
+                offsets[j] = (total, total + n)
+                total += n
+                idx_a.append(np.full(n, slot_a[a.id], np.int32))
+                idx_b.append(np.full(n, slot_b[b.id], np.int32))
+                keys.append(jax.random.split(job_keys[j], n))
+            fn = self._fn(kind_a, kind_b)
+            res = fn(
+                stack_a, stack_b,
+                jnp.asarray(np.concatenate(idx_a)),
+                jnp.asarray(np.concatenate(idx_b)),
+                jnp.concatenate(keys),
+            )
+            for j in job_ids:
+                lo, hi = offsets[j]
+                results[j] = jax.tree_util.tree_map(lambda x: x[lo:hi], res)
+        return [(a, b, r) for (a, b, _), r in zip(jobs, results)]

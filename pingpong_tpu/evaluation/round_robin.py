@@ -38,6 +38,9 @@ def run_round_robin(
     swap_sides: bool = False,      # N/2 games per seating (no ref equiv —
                                    # the ref always seats p2 on the favored
                                    # bottom side, tests/test_side_asymmetry)
+    batched: bool = True,          # ALL pairings in a handful of device
+                                   # programs (bit-identical results to the
+                                   # sequential per-pair path)
 ) -> int:
     import pandas as pd
 
@@ -56,36 +59,48 @@ def run_round_robin(
     records = []
     t_start = time.perf_counter()
     pairs = list(itertools.combinations(range(len(entries)), 2))
+    # seatings to play: (top, bottom, n_games); records keep the TRUE
+    # seating so per-seat rates stay auditable in the CSV
+    jobs = []
     for i, j in pairs:
         a, b = entries[i], entries[j]
-        # seatings to play: (top, bottom, n_games); records keep the TRUE
-        # seating so per-seat rates stay auditable in the CSV
         if swap_sides:
             half = episodes_per_match // 2
-            seatings = [(a, b, half), (b, a, episodes_per_match - half)]
+            jobs += [(a, b, half), (b, a, episodes_per_match - half)]
         else:
-            seatings = [(a, b, episodes_per_match)]
-        wins = {a.id: 0, b.id: 0}
-        draws = 0
-        for top, bottom, n in seatings:
+            jobs.append((a, b, episodes_per_match))
+
+    if batched:
+        played = runner.play_pairs_batched(jobs, key)
+    else:
+        played = []
+        for top, bottom, n in jobs:
             key, k_match = jax.random.split(key)
-            res = runner.play(top, bottom, n, k_match)
-            sa = np.asarray(res.score_a)
-            sb = np.asarray(res.score_b)
-            now = datetime.now(timezone.utc).isoformat()
-            for g in range(n):
-                winner = (top.id if sa[g] > sb[g]
-                          else (bottom.id if sb[g] > sa[g] else "draw"))
-                records.append({
-                    "p1": top.id, "p2": bottom.id,
-                    "p1_score": int(sa[g]), "p2_score": int(sb[g]),
-                    "winner": winner, "timestamp": now,
-                })
-            wins[top.id] += int(np.sum(sa > sb))
-            wins[bottom.id] += int(np.sum(sb > sa))
-            draws += int(np.sum(sa == sb))
-        print(f"[round-robin] {a.id} vs {b.id}: "
-              f"{wins[a.id]}-{wins[b.id]} (draws {draws})"
+            played.append((top, bottom, runner.play(top, bottom, n, k_match)))
+
+    per_pair = {}
+    for top, bottom, res in played:
+        sa = np.asarray(res.score_a)
+        sb = np.asarray(res.score_b)
+        now = datetime.now(timezone.utc).isoformat()
+        for g in range(len(sa)):
+            winner = (top.id if sa[g] > sb[g]
+                      else (bottom.id if sb[g] > sa[g] else "draw"))
+            records.append({
+                "p1": top.id, "p2": bottom.id,
+                "p1_score": int(sa[g]), "p2_score": int(sb[g]),
+                "winner": winner, "timestamp": now,
+            })
+        pair_key = tuple(sorted((top.id, bottom.id)))
+        w, d = per_pair.setdefault(pair_key, ({top.id: 0, bottom.id: 0}, [0]))
+        w[top.id] += int(np.sum(sa > sb))
+        w[bottom.id] += int(np.sum(sb > sa))
+        d[0] += int(np.sum(sa == sb))
+    for i, j in pairs:
+        a, b = entries[i], entries[j]
+        w, d = per_pair[tuple(sorted((a.id, b.id)))]
+        print(f"[round-robin] {a.id} vs {b.id}: {w[a.id]}-{w[b.id]} "
+              f"(draws {d[0]})"
               + (" [side-balanced]" if swap_sides else ""))
 
     dt = time.perf_counter() - t_start

@@ -58,6 +58,50 @@ def test_round_robin_outputs(tmp_path):
     assert (summary["games"] == 12).all()
 
 
+def test_batched_pairs_bit_identical_to_sequential(tmp_path):
+    """play_pairs_batched must reproduce the sequential per-pair results
+    exactly (same per-job key derivation, independent lockstep games)."""
+    from pingpong_tpu.env.pong import env_params_from_config
+    from pingpong_tpu.evaluation.registry import MatchRunner, discover_models
+
+    d = make_ckpts(tmp_path)
+    entries = discover_models([d], include_bot=True)
+    assert len(entries) == 4  # 2 QNet + 1 RNN + bot
+    env_params = env_params_from_config(EnvConfig(max_episode_steps=200))
+    jobs = []
+    for i in range(len(entries)):
+        for j in range(i + 1, len(entries)):
+            jobs.append((entries[i], entries[j], 4))
+
+    key = jax.random.PRNGKey(42)
+    batched = MatchRunner(env_params).play_pairs_batched(jobs, key)
+
+    runner2 = MatchRunner(env_params)
+    k = key
+    for (a, b, res_b) in batched:
+        k, k_match = jax.random.split(k)
+        res_s = runner2.play(a, b, 4, k_match)
+        for x, y in zip(res_b, res_s):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_round_robin_swap_sides_batched(tmp_path):
+    d = make_ckpts(tmp_path)
+    out = tmp_path / "rr_swap"
+    rc = run_round_robin(small_cfg(), d, out, episodes_per_match=4,
+                         include_bot=False, swap_sides=True, batched=True)
+    assert rc == 0
+    recs = list(out.glob("match_records_*.csv"))
+    assert recs
+    import pandas as pd
+
+    df = pd.read_csv(recs[0])
+    # both seatings present per pair: each unordered pair appears with
+    # both orientations
+    pairs = {tuple(r) for r in df[["p1", "p2"]].itertuples(index=False)}
+    assert len(pairs) == 2 * 3  # C(3,2) pairs x 2 orientations
+
+
 def test_arena_resumable(tmp_path):
     d = make_ckpts(tmp_path)
     db = tmp_path / "arena_database.json"
