@@ -40,6 +40,45 @@ def test_full_train_state_roundtrip(tmp_path):
     assert np.isfinite(float(m.mean_loss))
 
 
+def test_sharded_mesh_roundtrip(tmp_path):
+    """Save a MESH-PLACED train state (replay sharded on the data axis,
+    params replicated) and restore into a mesh-placed template: values
+    exact, shardings preserved — the fidelity the single-device test
+    cannot see."""
+    from jax.sharding import PartitionSpec as P
+
+    from pingpong_tpu.config.schema import MeshConfig
+    from pingpong_tpu.parallel.mesh import create_mesh
+
+    cfg = DQNConfig(num_envs=16, rollout_length=8, updates_per_iteration=2,
+                    batch_size=16, memory_size=1024, pool_max=0,
+                    target_update_interval=8, use_pallas_rollout=False,
+                    use_pallas_eval=False)
+    mesh = create_mesh(MeshConfig())
+    learner = DQNLearner(ENV, cfg, mesh=mesh)
+    state = learner.shard_state(learner.init_state(jax.random.PRNGKey(0)))
+    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), [], 0)
+    state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    assert state.buffer.data.sharding.spec == P("data")
+
+    path = save_train_state(tmp_path / "latest", state, metadata={"g": 1})
+
+    learner2 = DQNLearner(ENV, cfg, mesh=mesh)
+    template = learner2.shard_state(learner2.init_state(jax.random.PRNGKey(7)))
+    restored = restore_train_state(path, template)
+    # shardings come from the template (mesh-placed)
+    assert restored.buffer.data.sharding.spec == P("data")
+    assert restored.params_b.feat1.w.sharding.spec == P()
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state)),
+        jax.tree_util.tree_leaves(jax.device_get(restored)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state steps without recompilation errors
+    restored, m = learner2.train_iteration(restored, opp, jnp.int32(n))
+    assert np.isfinite(float(m.mean_loss))
+
+
 def test_checked_env_step_flags_nonfinite():
     from pingpong_tpu.env.pong import EnvState, env_params_from_config
 
