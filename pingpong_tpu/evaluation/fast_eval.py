@@ -61,7 +61,7 @@ def pallas_win_rate(
         seed = jax.random.randint(
             jax.random.fold_in(k_seed, chunk), (), 0, jnp.int32(2**31 - 1)
         )
-        state, opp_idx, ep_ret, _, stats, _ = pallas_actor_rollout(
+        state, opp_idx, ep_ret, _, stats, _, _ = pallas_actor_rollout(
             env_params, state, opp_idx, ep_ret, learner, opp,
             seed=seed, epsilon=jnp.float32(0.0), pool_size=jnp.int32(0),
             steps=chunk_steps, pool_ratio=0.0,

@@ -157,24 +157,34 @@ def _argmax3_rows(adv):
     return jnp.where(a2 > best01, jnp.int32(2), i01)     # (1, E) i32
 
 
-def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
+def _one_step(params, cfg, member_range, uniform, seed_mix, epsilon,
               lw, opp_refs, rows, ctr):
-    """One env step on (1, E) field rows. Returns (rows', srow, emit)."""
+    """One env step on (1, E) field rows. Returns (rows', srow, emit).
+
+    ``member_range`` = (lo, hi): the only opponent slots bound to envs of
+    this tile. Envs are SORTED by bound member at chunk boundaries (see
+    train/dqn.py::_rollout_pallas), so hi - lo is ~0-2 regardless of pool
+    size — opponent compute no longer scales with the pool."""
     (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
     E = bx.shape[1]
     row_f = (1, E)
+    lo, hi = member_range
 
     obs8 = jnp.concatenate(
         [bx, by, vx, vy, bot, top, sp, jnp.zeros(row_f, jnp.float32)], axis=0
     )                                                     # (8, E)
 
-    # ---- opponent action (mirror folded into weights)
-    act_a = jnp.zeros(row_f, jnp.int32)
-    for k in range(n_members):
-        ow = [r[k] for r in opp_refs]
+    # ---- opponent action (mirror folded into weights): only the member
+    # slots actually present in this tile are computed
+    def member_body(k, act_a):
+        ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
         adv_k = _advantage_t(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
         a_k = _argmax3_rows(adv_k)
-        act_a = jnp.where(opp == k, a_k, act_a)
+        return jnp.where(opp == k, a_k, act_a)
+
+    act_a = jax.lax.fori_loop(
+        lo, hi + 1, member_body, jnp.zeros(row_f, jnp.int32)
+    )
 
     # ---- learner action: factorized noise + epsilon-greedy
     u1 = uniform((8, 128), 1e-7, 1.0, seed_mix, ctr, 1)
@@ -208,7 +218,8 @@ def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
          jnp.zeros(row_f, jnp.float32)], axis=0,
     )
 
-    # ---- accounting rows
+    # ---- accounting rows (row 5 counts per-env episode ends so the host
+    # can re-bind opponents at the next chunk boundary)
     ep_ret = ret + out.reward_b
     win = (ep_ret > 0.0) & done
     vs_pool = opp > 0
@@ -217,21 +228,13 @@ def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
     p_f = vs_pool.astype(jnp.float32)
     srow = jnp.concatenate(
         [d_f * (1 - p_f), w_f * (1 - p_f), d_f * p_f, w_f * p_f,
-         jnp.where(done, ep_ret, 0.0),
-         jnp.zeros((3, E), jnp.float32)], axis=0,
+         jnp.where(done, ep_ret, 0.0), d_f,
+         jnp.zeros((2, E), jnp.float32)], axis=0,
     )                                                     # (8, E)
 
-    # ---- auto-reset + opponent re-bind
+    # ---- auto-reset; binding is FIXED within the chunk (re-bind happens
+    # at chunk boundaries on the host side, where envs are re-sorted)
     svx, svy, ssp = _serve_fields(params, row_f, uniform, seed_mix, ctr + 8)
-    use_pool = (
-        uniform(row_f, 0.0, 1.0, seed_mix, ctr, 13) < cfg["pool_ratio"]
-    ) & (pool_size > 0)
-    u_pick = uniform(row_f, 0.0, 1.0, seed_mix, ctr, 14)
-    pick = jnp.clip(
-        (u_pick * pool_size.astype(jnp.float32)).astype(jnp.int32),
-        0, jnp.maximum(pool_size - 1, 0),
-    )
-    new_opp = jnp.where(use_pool, pick + 1, 0)
 
     zero_i = jnp.zeros(row_f, jnp.int32)
     rows_new = (
@@ -247,7 +250,7 @@ def _one_step(params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
         jnp.where(done, zero_i, new.score_b),
         jnp.where(done, zero_i, new.bounce_count),
         jnp.where(done, zero_i, new.t),
-        jnp.where(done, new_opp, opp),
+        opp,
     )
     emit = (obs8, next8, act_b, out.reward_b, done.astype(jnp.int32))
     return rows_new, srow, emit
@@ -299,9 +302,10 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
     stats_ref = refs[i]; i += 1      # block (8, E) revisited
 
     tb = pl.program_id(1)
+    tile = pl.program_id(0)
     if use_tpu_prng:
         pltpu.prng_seed(
-            scalar_ref[0], pl.program_id(0) * pl.num_programs(1) + tb
+            scalar_ref[0], tile * pl.num_programs(1) + tb
         )
         uniform = _tpu_uniform
         seed_mix = jnp.uint32(0)
@@ -309,11 +313,12 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
         uniform = _hash_uniform
         seed_mix = (
             scalar_ref[0].astype(jnp.uint32)
-            ^ (pl.program_id(0).astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (tile.astype(jnp.uint32) * jnp.uint32(747796405))
             ^ (tb.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
-    pool_size = scalar_ref[2]
+    n_tiles = pl.num_programs(0)
+    member_range = (scalar_ref[3 + tile], scalar_ref[3 + n_tiles + tile])
 
     @pl.when(tb == 0)
     def _():
@@ -326,7 +331,7 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
     stats = stats_ref[:]
     for j in range(cfg["steps_per_cell"]):
         rows, srow, emit = _one_step(
-            params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
+            params, cfg, member_range, uniform, seed_mix, epsilon,
             lw, opp_refs, rows, jnp.int32(j * 16),
         )
         obs8, next8, act_b, reward_b, done_i = emit
@@ -363,24 +368,26 @@ def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
         tr_done_ref = refs[i]; i += 1
     stats_ref = refs[i]; i += 1          # (8, E)
 
+    tile = pl.program_id(0)
     if use_tpu_prng:
-        pltpu.prng_seed(scalar_ref[0], pl.program_id(0))
+        pltpu.prng_seed(scalar_ref[0], tile)
         uniform = _tpu_uniform
         seed_mix = jnp.uint32(0)
     else:
         uniform = _hash_uniform
         seed_mix = (
             scalar_ref[0].astype(jnp.uint32)
-            ^ (pl.program_id(0).astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (tile.astype(jnp.uint32) * jnp.uint32(747796405))
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
-    pool_size = scalar_ref[2]
+    n_tiles = pl.num_programs(0)
+    member_range = (scalar_ref[3 + tile], scalar_ref[3 + n_tiles + tile])
     lw = [r[:] for r in learner_refs]
 
     def body(t, carry):
         rows, stats = carry
         rows, srow, emit = _one_step(
-            params, cfg, n_members, uniform, seed_mix, epsilon, pool_size,
+            params, cfg, member_range, uniform, seed_mix, epsilon,
             lw, opp_refs, rows, t * jnp.int32(16),
         )
         if cfg["emit_transitions"]:
@@ -422,7 +429,12 @@ def pallas_actor_rollout(
     steps_per_cell: int = 8,    # grid-variant inner unroll
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, transitions,
-    stat_counts, ret_sum). transitions dict arrays are (T, B[, 7])."""
+    stat_counts, ret_sum, ended). transitions dict arrays are (T, B[, 7]);
+    ``ended`` is a per-env bool — "finished >= 1 episode this chunk" — the
+    host's signal to re-bind that env's opponent at the next chunk
+    boundary. Bindings are FIXED within a chunk; callers should pass envs
+    SORTED by ``opp_idx`` so each tile spans a short member range (the
+    kernel computes only slots [lo, hi] per tile)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     params = _static_params(env_params)
@@ -431,6 +443,11 @@ def pallas_actor_rollout(
     if B % E:
         raise ValueError(f"batch {B} must be a multiple of {E}")
     n_members = opponents.w1t.shape[0]
+    n_tiles = B // E
+    # per-tile bound-member range (envs sorted by opp_idx ⇒ contiguous)
+    opp_by_tile = opp_idx.reshape(n_tiles, E)
+    tile_lo = jnp.min(opp_by_tile, axis=1).astype(jnp.int32)
+    tile_hi = jnp.max(opp_by_tile, axis=1).astype(jnp.int32)
 
     zero = jnp.zeros((1, B), jnp.float32)
     F = jnp.concatenate(
@@ -448,10 +465,11 @@ def pallas_actor_rollout(
         + [zi] * (I_ROWS - 5),
         axis=0,
     )
-    scalars = jnp.asarray(
-        [jnp.int32(seed), (epsilon * 1e6).astype(jnp.int32),
-         jnp.int32(pool_size)], jnp.int32,
-    )
+    scalars = jnp.concatenate([
+        jnp.stack([jnp.int32(seed), (epsilon * 1e6).astype(jnp.int32),
+                   jnp.int32(pool_size)]),
+        tile_lo, tile_hi,
+    ]).astype(jnp.int32)
 
     f32, i32 = jnp.float32, jnp.int32
     sds = jax.ShapeDtypeStruct
@@ -566,5 +584,6 @@ def pallas_actor_rollout(
     stat_totals = jnp.sum(stats, axis=1)                   # (8,)
     stat_counts = stat_totals[:4].astype(jnp.int32)
     ret_sum = stat_totals[4]
+    ended = stats[5] > 0.0                                 # (B,) bool
     return (new_state, I_out[IOPP], F_out[FRET], transitions,
-            stat_counts, ret_sum)
+            stat_counts, ret_sum, ended)

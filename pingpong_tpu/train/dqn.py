@@ -83,6 +83,9 @@ class DQNTrainState(NamedTuple):
     env_state: EnvState          # batched (num_envs,)
     opp_idx: Array               # (num_envs,) i32; 0 = frozen A, k>0 = pool[k-1]
     ep_return: Array             # (num_envs,) f32 running episode return of B
+    ended: Array                 # (num_envs,) bool — episode finished during
+                                 # the previous rollout chunk (pallas path:
+                                 # re-bind the opponent at the chunk boundary)
     epsilon: Array               # f32 scalar
     train_steps: Array           # i32
     frame_idx: Array             # i32, beta-anneal clock (ref frame_idx)
@@ -201,6 +204,7 @@ class DQNLearner:
             env_state=put_batched(state.env_state),
             opp_idx=jax.device_put(state.opp_idx, batched),
             ep_return=jax.device_put(state.ep_return, batched),
+            ended=jax.device_put(state.ended, batched),
             epsilon=jax.device_put(state.epsilon, repl),
             train_steps=jax.device_put(state.train_steps, repl),
             frame_idx=jax.device_put(state.frame_idx, repl),
@@ -269,6 +273,7 @@ class DQNLearner:
             env_state=env_state,
             opp_idx=jnp.zeros((self.cfg.num_envs,), jnp.int32),
             ep_return=jnp.zeros((self.cfg.num_envs,), jnp.float32),
+            ended=jnp.zeros((self.cfg.num_envs,), jnp.bool_),
             epsilon=jnp.float32(epsilon),
             train_steps=jnp.int32(0),
             frame_idx=jnp.int32(0),
@@ -294,22 +299,51 @@ class DQNLearner:
     def _rollout_pallas(self, state: DQNTrainState, opp_stack: QNetParams,
                         pool_size: Array):
         """Whole rollout chunk as one Pallas kernel (config
-        ``use_pallas_rollout``). Fidelity note: epsilon decays once per
-        chunk by ``decay^episodes`` instead of per in-chunk step."""
+        ``use_pallas_rollout``). Fidelity notes vs the reference/XLA path:
+
+        * epsilon decays once per chunk by ``decay^episodes`` instead of
+          per in-chunk step;
+        * opponents re-bind at CHUNK boundaries, not instantly on reset —
+          an env whose episode ends mid-chunk starts its next episode vs
+          the same member for the rest of the chunk (<= rollout_length
+          steps). The per-episode marginal opponent distribution is
+          unchanged (each re-bind draws iid from the pool rule); in
+          exchange, envs can be SORTED by bound member every chunk, so
+          each kernel tile spans a ~1-2 member range and opponent compute
+          stops scaling with pool size (VERDICT round-1 item)."""
         from pingpong_tpu.ops.actor_rollout import (
             pack_qnet,
             pallas_actor_rollout,
         )
 
         cfg = self.cfg
-        key, k_seed = jax.random.split(state.key)
+        key, k_seed, k_gate, k_pick = jax.random.split(state.key, 4)
         seed = jax.random.randint(k_seed, (), 0, jnp.int32(2**31 - 1))
+
+        # chunk-boundary opponent re-bind for envs that finished >= 1
+        # episode last chunk (ref binds per episode, train_iterative:235)
+        use_pool = (
+            jax.random.uniform(k_gate, (cfg.num_envs,))
+            < cfg.selfplay.opponent_pool_ratio
+        ) & (pool_size > 0)
+        pick = jax.random.randint(
+            k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
+        ).astype(jnp.int32)
+        opp_idx = jnp.where(
+            state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
+        )
+        # sort envs by bound member so kernel tiles span short ranges
+        perm = jnp.argsort(opp_idx)
+        opp_idx = opp_idx[perm]
+        env_state = jax.tree_util.tree_map(lambda x: x[perm], state.env_state)
+        ep_return = state.ep_return[perm]
+
         (new_env, new_opp_idx, new_ep_ret, tr, stat_counts,
-         ret_sum) = pallas_actor_rollout(
+         ret_sum, ended) = pallas_actor_rollout(
             self.env_params,
-            state.env_state,
-            state.opp_idx,
-            state.ep_return,
+            env_state,
+            opp_idx,
+            ep_return,
             pack_qnet(state.params_b),
             pack_qnet(opp_stack, mirror=True),
             seed=seed,
@@ -337,6 +371,7 @@ class DQNLearner:
             env_state=new_env,
             opp_idx=new_opp_idx,
             ep_return=new_ep_ret,
+            ended=ended,
             epsilon=epsilon,
             episodes=state.episodes + n_done,
             buffer=per_push(state.buffer, flat, cfg.per_alpha),

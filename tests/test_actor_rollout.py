@@ -45,7 +45,7 @@ def test_matches_xla_greedy_before_resets():
     opp_p = qnet_init(jax.random.PRNGKey(1))
     state0 = batch_state(jax.random.PRNGKey(2))
     steps = 24
-    _, _, _, tr, _, _ = run_kernel(state0, learner_p, opp_p, steps)
+    _, _, _, tr, _, _, _ = run_kernel(state0, learner_p, opp_p, steps)
 
     # XLA comparator: greedy mu actions both sides (sigma=0, eps=0)
     st = state0
@@ -72,7 +72,7 @@ def test_stats_consistency():
     learner_p = qnet_init(jax.random.PRNGKey(0))
     opp_p = qnet_init(jax.random.PRNGKey(1))
     state0 = batch_state(jax.random.PRNGKey(3))
-    _, _, _, tr, stats, ret_sum = run_kernel(
+    _, _, _, tr, stats, ret_sum, ended = run_kernel(
         state0, learner_p, opp_p, steps=96, epsilon=0.1
     )
     dones = int(np.asarray(tr["done"]).sum())
@@ -91,11 +91,40 @@ def test_epsilon_one_gives_uniformish_actions():
     learner_p = qnet_init(jax.random.PRNGKey(0))
     opp_p = qnet_init(jax.random.PRNGKey(1))
     state0 = batch_state(jax.random.PRNGKey(4))
-    _, _, _, tr, _, _ = run_kernel(state0, learner_p, opp_p, steps=32,
+    _, _, _, tr, _, _, _ = run_kernel(state0, learner_p, opp_p, steps=32,
                                    epsilon=1.0)
     counts = np.bincount(np.asarray(tr["action"]).reshape(-1), minlength=3)
     frac = counts / counts.sum()
     assert (np.abs(frac - 1 / 3) < 0.05).all()
+
+
+def test_chunk_boundary_rebinding_reaches_pool():
+    """Bindings are fixed within a chunk and re-drawn at chunk boundaries
+    for envs that finished an episode; with pool_ratio=1 every re-bind
+    lands on a pool member, so pool episodes must appear by chunk 2+."""
+    from pingpong_tpu.config.schema import SelfPlayConfig
+
+    cfg = DQNConfig(
+        selfplay=SelfPlayConfig(opponent_pool_ratio=1.0),
+        num_envs=B, rollout_length=64, updates_per_iteration=0,
+        batch_size=32, memory_size=B * 64, pool_max=2,
+        use_pallas_rollout=True, pallas_tile_rows=B,
+    )
+    env_cfg = EnvConfig(max_episode_steps=100)
+    learner = DQNLearner(env_cfg, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    pool = [qnet_init(jax.random.PRNGKey(2)), qnet_init(jax.random.PRNGKey(3))]
+    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), pool, 2)
+    pool_games = 0
+    for _ in range(4):
+        state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        pool_games += int(m.games_vs_pool)
+    assert pool_games > 0
+    # after several chunks, most envs are bound to pool slots (>0)
+    assert float(jnp.mean((state.opp_idx > 0).astype(jnp.float32))) > 0.5
+    # and envs arrive at the kernel sorted by member within each chunk —
+    # verified indirectly: bindings only in {0..n}
+    assert int(jnp.max(state.opp_idx)) <= n
 
 
 def test_learner_integration_pallas_path():
