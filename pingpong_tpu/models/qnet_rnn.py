@@ -84,11 +84,7 @@ def lstm_layer_init(key: Array, input_dim: int, hidden: int) -> LSTMLayerParams:
     )
 
 
-def lstm_cell(
-    p: LSTMLayerParams, x: Array, h: Array, c: Array
-) -> Tuple[Array, Array]:
-    """One LSTM step. x: (..., input), h/c: (..., hidden)."""
-    gates = x @ p.w_ih + p.b_ih + h @ p.w_hh + p.b_hh
+def _gates_to_hc(gates: Array, c: Array) -> Tuple[Array, Array]:
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -97,6 +93,14 @@ def lstm_cell(
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     return h_new, c_new
+
+
+def lstm_cell(
+    p: LSTMLayerParams, x: Array, h: Array, c: Array
+) -> Tuple[Array, Array]:
+    """One LSTM step. x: (..., input), h/c: (..., hidden)."""
+    gates = x @ p.w_ih + p.b_ih + h @ p.w_hh + p.b_hh
+    return _gates_to_hc(gates, c)
 
 
 def qnet_rnn_init(
@@ -194,17 +198,36 @@ def qnet_rnn_apply(
 ) -> Tuple[Array, Hidden]:
     """Sequence forward: obs_seq (B, T, obs) or (T, obs), returns
     (Q of last timestep, next hidden) — the reference forward (:107-144).
+
+    TPU shape: layer 0's input projection ``x @ w_ih + b_ih`` is hoisted
+    out of the time scan and computed for ALL timesteps as one batched
+    matmul (inputs are known upfront; only the h-recurrence is inherently
+    sequential) — halving the scanned matmul chain. Algebraically
+    identical up to float reassociation.
     """
     batched = obs_seq.ndim == 3
     time_axis = 1 if batched else 0
     feats = _features(params, obs_seq)          # (..., T, feature)
     feats_t = jnp.moveaxis(feats, time_axis, 0)  # (T, ..., feature)
+    l0 = params.lstm[0]
+    xp0_t = feats_t @ l0.w_ih + l0.b_ih          # (T, ..., 4*hidden)
 
-    def scan_fn(carry: Hidden, x_t: Array):
-        out, new_carry = _lstm_step(params, x_t, carry)
-        return new_carry, out
+    def scan_fn(carry: Hidden, xs):
+        xp0, x_t = xs
+        hs, cs = [], []
+        x = x_t
+        for l, layer in enumerate(params.lstm):
+            if l == 0:
+                gates = xp0 + carry.h[0] @ layer.w_hh + layer.b_hh
+                h_new, c_new = _gates_to_hc(gates, carry.c[0])
+            else:
+                h_new, c_new = lstm_cell(layer, x, carry.h[l], carry.c[l])
+            hs.append(h_new)
+            cs.append(c_new)
+            x = h_new
+        return Hidden(h=jnp.stack(hs), c=jnp.stack(cs)), x
 
-    final_hidden, outs = jax.lax.scan(scan_fn, hidden, feats_t)
+    final_hidden, outs = jax.lax.scan(scan_fn, hidden, (xp0_t, feats_t))
     last = outs[-1]                              # (..., hidden)
     q = _dueling_head(params, last, noise)
     return q, final_hidden

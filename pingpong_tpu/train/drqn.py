@@ -191,6 +191,16 @@ class DRQNLearner:
             )
         return self._tx
 
+    def _flat_util(self, params: QNetRNNParams):
+        """(flat, unravel) — the update loop optimizes the RAVELED vector:
+        per-leaf clip+Adam over ~20 tiny leaves is ~80 serial kernels on
+        the latency-bound update chain; flat is 2-3 (see train/dqn.py)."""
+        from jax.flatten_util import ravel_pytree
+
+        if getattr(self, "_unravel", None) is None:
+            self._unravel = ravel_pytree(params)[1]
+        return ravel_pytree(params)[0], self._unravel
+
     def _zero_hidden(self, batch: int) -> Hidden:
         c = self.cfg
         shape = (c.lstm_layers, batch, c.lstm_hidden_dim)
@@ -236,7 +246,7 @@ class DRQNLearner:
             key=k_loop,
             params_b=params_b,
             target_b=jax.tree_util.tree_map(jnp.copy, params_b),
-            opt_state=self.tx().init(params_b),
+            opt_state=self.tx().init(self._flat_util(params_b)[0]),
             buffer=seq_init(c.num_envs, c.ring_len),
             env_state=env_state,
             hid_b=self._zero_hidden(c.num_envs),
@@ -256,7 +266,7 @@ class DRQNLearner:
         return state._replace(
             params_b=params_b,
             target_b=jax.tree_util.tree_map(jnp.copy, params_b),
-            opt_state=self.tx().init(params_b),
+            opt_state=self.tx().init(self._flat_util(params_b)[0]),
             epsilon=jnp.float32(self.cfg.initial_epsilon_per_generation),
         )
 
@@ -270,7 +280,7 @@ class DRQNLearner:
         return state._replace(
             params_b=params_b,
             target_b=jax.tree_util.tree_map(jnp.copy, params_b),
-            opt_state=self.tx().init(params_b),
+            opt_state=self.tx().init(self._flat_util(params_b)[0]),
             epsilon=jnp.float32(1.0),
         )
 
@@ -283,27 +293,54 @@ class DRQNLearner:
         # per-step-evolving pieces (env state, hiddens, counters) — never
         # the ring buffer, which is bulk-written after the scan
 
-        def step_fn(carry, _):
-            (key, env_state, hid_b, hid_opp, opp_idx, ep_return, epsilon,
+        # learner slot appended to the opponent stack: ONE vmapped LSTM
+        # step per env step instead of a member pass plus a separate
+        # learner pass — the step chain is serial, so op count is
+        # wall-clock. Opponent slots run with zero noise (== mu weights).
+        all_params = jax.tree_util.tree_map(
+            lambda o, b: jnp.concatenate([o, b[None]]), opp_stack, params_b
+        )
+        n_slots = jax.tree_util.tree_leaves(opp_stack)[0].shape[0]
+
+        # per-step randomness pre-drawn outside the scan (the step chain is
+        # serial; every PRNG kernel inside it is wall-clock)
+        key, k_noise, k_steps = jax.random.split(state.key, 3)
+        noise_t = jax.vmap(
+            lambda k: qnet_rnn_sample_noise(k, params_b)
+        )(jax.random.split(k_noise, cfg.rollout_length))
+        # (T, n_slots+1, ...): zero-noise slots for the frozen opponents
+        noise_all_t = jax.tree_util.tree_map(
+            lambda n: jnp.concatenate(
+                [jnp.zeros((n.shape[0], n_slots) + n.shape[1:], n.dtype),
+                 n[:, None]], axis=1,
+            ),
+            noise_t,
+        )
+        step_keys = jax.random.split(k_steps, 3 * cfg.rollout_length).reshape(
+            cfg.rollout_length, 3, -1
+        )
+
+        def step_fn(carry, xs):
+            (env_state, hid_all, opp_idx, ep_return, epsilon,
              episodes) = carry
-            key, k_noise, k_eps, k_step, k_gate, k_pick = jax.random.split(key, 6)
+            noise_all, ks = xs
+            k_eps, k_step, k_bind = ks[0], ks[1], ks[2]
 
             obs_a = observe_a(env_state)
             obs_b = observe_b(env_state)
-
-            # opponents: every slot advances on all envs (greedy, mu weights)
-            def member_step(p, hid):
-                q, new_hid = qnet_rnn_step(p, obs_a, hid)
-                return q, new_hid
-
-            q_all, hid_opp_new = jax.vmap(member_step)(opp_stack, hid_opp)
-            act_all = jnp.argmax(q_all, axis=-1).astype(jnp.int32)  # (K+1, B)
+            x_all = jnp.concatenate([
+                jnp.broadcast_to(obs_a, (n_slots,) + obs_a.shape),
+                obs_b[None],
+            ])
+            q_all, hid_all_new = jax.vmap(qnet_rnn_step)(
+                all_params, x_all, hid_all, noise_all
+            )
+            act_all = jnp.argmax(q_all, axis=-1).astype(jnp.int32)  # (K+2, B)
             act_a = jnp.take_along_axis(act_all, opp_idx[None, :], axis=0)[0]
 
             # learner B: fresh noise each step + epsilon-greedy; hidden
             # advances on explore steps too (ref :371-389)
-            noise = qnet_rnn_sample_noise(k_noise, params_b)
-            q_b, hid_b_new = qnet_rnn_step(params_b, obs_b, hid_b, noise)
+            q_b = q_all[-1]
             act_b = epsilon_greedy(k_eps, q_b, epsilon, q_b.shape[-1])
 
             next_env, out = step_autoreset_batch(
@@ -329,42 +366,43 @@ class DRQNLearner:
             )
 
             # zero hidden on episode boundary (new episode, fresh memory)
-            done_col = done[None, :, None]          # (1, B, 1) for (L, B, H)
-            hid_b_next = Hidden(
-                h=jnp.where(done_col, 0.0, hid_b_new.h),
-                c=jnp.where(done_col, 0.0, hid_b_new.c),
-            )
-            done_opp = done[None, None, :, None]    # (1, 1, B, 1) for (K,L,B,H)
-            hid_opp_next = Hidden(
-                h=jnp.where(done_opp, 0.0, hid_opp_new.h),
-                c=jnp.where(done_opp, 0.0, hid_opp_new.c),
+            done_all = done[None, None, :, None]    # for (K+2, L, B, H)
+            hid_all_next = Hidden(
+                h=jnp.where(done_all, 0.0, hid_all_new.h),
+                c=jnp.where(done_all, 0.0, hid_all_new.c),
             )
 
             # re-bind opponent for reset envs (ref :735-737)
+            kg, kp = jax.random.split(k_bind)
             use_pool = (
-                jax.random.uniform(k_gate, (cfg.num_envs,))
+                jax.random.uniform(kg, (cfg.num_envs,))
                 < cfg.selfplay.opponent_pool_ratio
             ) & (pool_size > 0)
             pick = jax.random.randint(
-                k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
+                kp, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
             ).astype(jnp.int32)
             opp_idx = jnp.where(done, jnp.where(use_pool, pick + 1, 0), opp_idx)
 
             new_carry = (
-                key, next_env, hid_b_next, hid_opp_next, opp_idx,
+                next_env, hid_all_next, opp_idx,
                 jnp.where(done, 0.0, ep_ret), epsilon, episodes + n_done,
             )
             trans = (obs_b, act_b, out.reward_b, out.obs_b, done)
             return new_carry, (trans, stats, ret_sum)
 
+        hid_all0 = Hidden(
+            h=jnp.concatenate([state.hid_opp.h, state.hid_b.h[None]]),
+            c=jnp.concatenate([state.hid_opp.c, state.hid_b.c[None]]),
+        )
         carry0 = (
-            state.key, state.env_state, state.hid_b, state.hid_opp,
+            state.env_state, hid_all0,
             state.opp_idx, state.ep_return, state.epsilon, state.episodes,
         )
         carry, (traj, stats, ret_sums) = jax.lax.scan(
-            step_fn, carry0, None, length=cfg.rollout_length
+            step_fn, carry0, (noise_all_t, step_keys),
+            length=cfg.rollout_length,
         )
-        (key, env_state, hid_b, hid_opp, opp_idx, ep_return, epsilon,
+        (env_state, hid_all, opp_idx, ep_return, epsilon,
          episodes) = carry
         obs_t, act_t, rew_t, next_obs_t, done_t = traj
         buffer = seq_push_rollout(
@@ -375,8 +413,8 @@ class DRQNLearner:
             key=key,
             buffer=buffer,
             env_state=env_state,
-            hid_b=hid_b,
-            hid_opp=hid_opp,
+            hid_b=Hidden(h=hid_all.h[-1], c=hid_all.c[-1]),
+            hid_opp=Hidden(h=hid_all.h[:-1], c=hid_all.c[:-1]),
             opp_idx=opp_idx,
             ep_return=ep_return,
             epsilon=epsilon,
@@ -386,61 +424,90 @@ class DRQNLearner:
 
     # -- update ------------------------------------------------------------
     def _update(self, state: DRQNTrainState):
+        """K DRQN updates. Like train/dqn.py, the scan carries RAVELED
+        online/target vectors, per-update noise is pre-drawn outside the
+        scan, and the online (s,s')-fused forward and the target forward
+        run as ONE vmapped dual-net apply — the update chain is serial,
+        so op count is wall-clock."""
         cfg = self.cfg
+        bs = cfg.batch_size
+        K = cfg.updates_per_iteration
+        burn = cfg.burn_in_length
+        flat_b0, unravel = self._flat_util(state.params_b)
+        flat_t0, _ = self._flat_util(state.target_b)
 
-        def do_update(st: DRQNTrainState):
-            key, k_sample, k_noise = jax.random.split(st.key, 3)
-            sample = seq_sample(
-                st.buffer, k_sample, cfg.batch_size, cfg.trace_length
-            )
-            noise = qnet_rnn_sample_noise(k_noise, st.params_b)
-            zero_hid = self._zero_hidden(cfg.batch_size)
-            burn = cfg.burn_in_length
+        key, k_noise = jax.random.split(state.key)
+        noise_all = jax.vmap(
+            lambda k: qnet_rnn_sample_noise(k, state.params_b)
+        )(jax.random.split(k_noise, K))
+        # slot 1 = zero noise for the target net's mu-only forward
+        noise2_all = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=1), noise_all
+        )
+        key, k_samples = jax.random.split(key)
+        sample_keys = jax.random.split(k_samples, K)
+
+        def do_update(carry, xs):
+            flat_b, flat_t, opt_state, buffer, train_steps = carry
+            noise2, k_sample = xs
+            sample = seq_sample(buffer, k_sample, bs, cfg.trace_length)
             w = sample.valid.astype(jnp.float32)
+            target_params = unravel(flat_t)
 
-            def forward(params, seq, hid, nz):
-                q, _ = qnet_rnn_apply(params, seq, hid, nz)
-                return q
-
-            bs = cfg.batch_size
-
-            def loss_fn(params):
+            def loss_fn(flat):
+                params = unravel(flat)
                 obs_seq = sample.obs
                 next_seq = sample.next_obs
-                h0 = zero_hid
-                h0_t = zero_hid
                 if burn > 0:
                     # optional burn-in (the reference scaffolds this,
                     # :431-448): warm the hidden on the first `burn` frames
                     # without gradient, train on the remainder
                     _, h0 = qnet_rnn_apply(
                         jax.lax.stop_gradient(params),
-                        obs_seq[:, :burn], zero_hid, None,
+                        obs_seq[:, :burn], self._zero_hidden(bs), None,
                     )
                     h0 = jax.tree_util.tree_map(jax.lax.stop_gradient, h0)
                     _, h0_t = qnet_rnn_apply(
-                        st.target_b, next_seq[:, :burn], zero_hid, None
+                        target_params, next_seq[:, :burn],
+                        self._zero_hidden(bs), None,
                     )
                     obs_seq = obs_seq[:, burn:]
                     next_seq = next_seq[:, burn:]
-
-                if burn > 0:
-                    q_last = forward(params, obs_seq, h0, noise)
-                    q_next_online = forward(params, next_seq, h0_t, noise)
-                else:
-                    # fused (s-seq, s'-seq) forward: same params/noise, both
-                    # zero-hidden — halves the scanned LSTM launches
-                    both = forward(
-                        params,
-                        jnp.concatenate([obs_seq, next_seq]),
-                        self._zero_hidden(2 * bs),
-                        noise,
+                    noise = jax.tree_util.tree_map(
+                        lambda x: x[0], noise2
                     )
-                    q_last, q_next_online = both[:bs], both[bs:]
+                    q_last, _ = qnet_rnn_apply(params, obs_seq, h0, noise)
+                    q_next_online, _ = qnet_rnn_apply(
+                        params, next_seq, h0_t, noise
+                    )
+                    q_next_target, _ = qnet_rnn_apply(
+                        target_params, next_seq, h0_t, None
+                    )
+                else:
+                    # ONE vmapped dual-net forward: net 0 = online on the
+                    # (s, s') pair batch, net 1 = target on (s', s') —
+                    # 8 scanned LSTM cells total instead of 16
+                    both_params = jax.tree_util.tree_map(
+                        lambda a, b: jnp.stack(
+                            [a, jax.lax.stop_gradient(b)]),
+                        params, target_params,
+                    )
+                    x2 = jnp.stack([
+                        jnp.concatenate([obs_seq, next_seq]),
+                        jnp.concatenate([next_seq, next_seq]),
+                    ])
+                    h2 = jax.tree_util.tree_map(
+                        lambda x: jnp.stack([x, x]),
+                        self._zero_hidden(2 * bs),
+                    )
+                    q2, _ = jax.vmap(qnet_rnn_apply)(
+                        both_params, x2, h2, noise2
+                    )
+                    q_last, q_next_online = q2[0, :bs], q2[0, bs:]
+                    q_next_target = q2[1, :bs]
                 a_last = sample.action[:, -1]
                 q_a = jnp.take_along_axis(q_last, a_last[:, None], axis=-1)[:, 0]
                 na = jnp.argmax(q_next_online, axis=-1)
-                q_next_target = forward(st.target_b, next_seq, h0_t, None)
                 nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
                 r_last = sample.reward[:, -1]
                 d_last = sample.done[:, -1].astype(jnp.float32)
@@ -453,34 +520,37 @@ class DRQNLearner:
                 denom = jnp.maximum(jnp.sum(w), 1.0)
                 return jnp.sum(w * huber) / denom
 
-            loss, grads = jax.value_and_grad(loss_fn)(st.params_b)
-            updates, opt_state = self.tx().update(grads, st.opt_state, st.params_b)
-            params_b = optax.apply_updates(st.params_b, updates)
-            train_steps = st.train_steps + 1
+            loss, grads = jax.value_and_grad(loss_fn)(flat_b)
+            updates, opt_state = self.tx().update(grads, opt_state, flat_b)
+            flat_b = optax.apply_updates(flat_b, updates)
+            train_steps = train_steps + 1
             sync = (train_steps % cfg.target_update_interval) == 0
-            target_b = jax.tree_util.tree_map(
-                lambda b, t: jnp.where(sync, b, t), params_b, st.target_b
-            )
-            return st._replace(
-                key=key,
-                params_b=params_b,
-                target_b=target_b,
-                opt_state=opt_state,
-                train_steps=train_steps,
-            ), loss
+            flat_t = jnp.where(sync, flat_b, flat_t)
+            return (flat_b, flat_t, opt_state, buffer, train_steps), loss
 
-        def skip(st):
-            return st, jnp.float32(0.0)
+        def skip(carry, xs):
+            return carry, jnp.float32(0.0)
 
         gate = cfg.batch_size * cfg.min_episodes_for_training_start
 
-        def scan_fn(st, _):
-            ready = st.buffer.ep_count > gate
-            st, loss = jax.lax.cond(ready, do_update, skip, st)
-            return st, (loss, ready)
+        def scan_fn(carry, xs):
+            ready = carry[3].ep_count > gate
+            carry, loss = jax.lax.cond(ready, do_update, skip, carry, xs)
+            return carry, (loss, ready)
 
-        state, (losses, ran) = jax.lax.scan(
-            scan_fn, state, None, length=cfg.updates_per_iteration
+        carry0 = (flat_b0, flat_t0, state.opt_state, state.buffer,
+                  state.train_steps)
+        carry, (losses, ran) = jax.lax.scan(
+            scan_fn, carry0, (noise2_all, sample_keys), length=K
+        )
+        flat_b, flat_t, opt_state, buffer, train_steps = carry
+        state = state._replace(
+            key=key,
+            params_b=unravel(flat_b),
+            target_b=unravel(flat_t),
+            opt_state=opt_state,
+            buffer=buffer,
+            train_steps=train_steps,
         )
         n_ran = jnp.sum(ran.astype(jnp.int32))
         mean_loss = jnp.sum(losses) / jnp.maximum(n_ran.astype(jnp.float32), 1.0)
