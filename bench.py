@@ -118,9 +118,9 @@ def bench_drqn_iteration():
     from pingpong_tpu.config import DRQNConfig
     from pingpong_tpu.train.drqn import DRQNLearner, stack_rnn_opponents
 
-    cfg = DRQNConfig(num_envs=1024, rollout_length=128,
+    cfg = DRQNConfig(num_envs=4096, rollout_length=128,
                      updates_per_iteration=32, batch_size=64,
-                     ring_len=4096)
+                     ring_len=2048)
     learner = DRQNLearner(_bench_env_cfg(), cfg)
     params = learner.init_params(jax.random.PRNGKey(0))
     state = learner.init_state(jax.random.PRNGKey(1), params)
