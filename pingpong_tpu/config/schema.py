@@ -185,6 +185,14 @@ class DRQNConfig:
     latest_checkpoint_filename: str = "latest_rnn_training_state"
 
     # ---- TPU scaling knobs ----
+    # Fused Pallas recurrent actor-rollout (ops/recurrent_rollout.py):
+    # whole chunk in one kernel, env state + BOTH LSTM streams + weights
+    # resident in VMEM, lane-major layout. Applies when the architecture
+    # is the reference's shipped one (lstm_layers=1, shared head, dims
+    # <= 128); other architectures use the XLA scan path regardless.
+    use_pallas_rollout: bool = True
+    pallas_tile_rows: int = 512     # envs per kernel program (mult. of 128
+                                    # on TPU; capped at num_envs)
     num_envs: int = 1024
     rollout_length: int = 128
     updates_per_iteration: int = 32

@@ -227,7 +227,13 @@ def qnet_rnn_apply(
             x = h_new
         return Hidden(h=jnp.stack(hs), c=jnp.stack(cs)), x
 
-    final_hidden, outs = jax.lax.scan(scan_fn, hidden, (xp0_t, feats_t))
+    # trace windows are short and static (trace_length=8 by default):
+    # fully unrolling the time loop removes per-iteration loop overhead
+    # and lets XLA fuse the elementwise gate chain across steps — the
+    # training update is latency-bound, not FLOP-bound
+    final_hidden, outs = jax.lax.scan(
+        scan_fn, hidden, (xp0_t, feats_t), unroll=True
+    )
     last = outs[-1]                              # (..., hidden)
     q = _dueling_head(params, last, noise)
     return q, final_hidden

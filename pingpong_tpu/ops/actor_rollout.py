@@ -157,49 +157,25 @@ def _argmax3_rows(adv):
     return jnp.where(a2 > best01, jnp.int32(2), i01)     # (1, E) i32
 
 
-def _one_step(params, cfg, member_range, uniform, seed_mix, epsilon,
-              lw, opp_refs, rows, ctr):
-    """One env step on (1, E) field rows. Returns (rows', srow, emit).
+def obs8_from_rows(rows):
+    """Player B's padded observation: the first 8 state rows. (8, E)."""
+    (bx, by, vx, vy, bot, top, sp, *_rest) = rows
+    row_f = (1, bx.shape[1])
+    return jnp.concatenate(
+        [bx, by, vx, vy, bot, top, sp, jnp.zeros(row_f, jnp.float32)], axis=0
+    )
 
-    ``member_range`` = (lo, hi): the only opponent slots bound to envs of
-    this tile. Envs are SORTED by bound member at chunk boundaries (see
-    train/dqn.py::_rollout_pallas), so hi - lo is ~0-2 regardless of pool
-    size — opponent compute no longer scales with the pool."""
+
+def _env_transition(params, cfg, uniform, seed_mix, rows, ctr,
+                    act_a, act_b, obs8):
+    """Masked env transition + auto-reset + accounting on (1, E) rows.
+
+    Shared by the feed-forward and recurrent actor kernels. Returns
+    (rows', srow, emit) where srow is the (8, E) stats block row and emit
+    is ``(obs8, next8, act_b, reward_b, done_i32)``."""
     (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
     E = bx.shape[1]
     row_f = (1, E)
-    lo, hi = member_range
-
-    obs8 = jnp.concatenate(
-        [bx, by, vx, vy, bot, top, sp, jnp.zeros(row_f, jnp.float32)], axis=0
-    )                                                     # (8, E)
-
-    # ---- opponent action (mirror folded into weights): only the member
-    # slots actually present in this tile are computed
-    def member_body(k, act_a):
-        ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
-        adv_k = _advantage_t(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
-        a_k = _argmax3_rows(adv_k)
-        return jnp.where(opp == k, a_k, act_a)
-
-    act_a = jax.lax.fori_loop(
-        lo, hi + 1, member_body, jnp.zeros(row_f, jnp.int32)
-    )
-
-    # ---- learner action: factorized noise + epsilon-greedy
-    u1 = uniform((8, 128), 1e-7, 1.0, seed_mix, ctr, 1)
-    u2 = uniform((8, 128), 0.0, 1.0, seed_mix, ctr, 2)
-    nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
-    eps_in = _scale_noise(nrm[0:1, 0:64])                 # (1, 64)
-    eps_out = _scale_noise(nrm[0:8, 64:65])               # (8, 1)
-    wa_eff = lw[4] + lw[6] * (eps_out * eps_in)           # (8, 64)
-    ba_eff = lw[5] + lw[7] * eps_out                      # (8, 1)
-    ba_eff = jnp.where(ba_eff < NEG_BIG * 0.5, NEG_BIG, ba_eff)
-    adv_b = _advantage_t(obs8, lw[0], lw[1], lw[2], lw[3], wa_eff, ba_eff)
-    greedy_b = _argmax3_rows(adv_b)
-    u_expl = uniform(row_f, 0.0, 1.0, seed_mix, ctr, 5)
-    rand_a = uniform(row_f, 0.0, 3.0, seed_mix, ctr, 6).astype(jnp.int32)
-    act_b = jnp.where(u_expl < epsilon, jnp.clip(rand_a, 0, 2), greedy_b)
 
     # ---- env transition via the shared pure step (shape-polymorphic)
     state = EnvState(
@@ -254,6 +230,53 @@ def _one_step(params, cfg, member_range, uniform, seed_mix, epsilon,
     )
     emit = (obs8, next8, act_b, out.reward_b, done.astype(jnp.int32))
     return rows_new, srow, emit
+
+
+def _one_step(params, cfg, member_range, uniform, seed_mix, epsilon,
+              lw, opp_refs, rows, ctr):
+    """One env step on (1, E) field rows. Returns (rows', srow, emit).
+
+    ``member_range`` = (lo, hi): the only opponent slots bound to envs of
+    this tile. Envs are SORTED by bound member at chunk boundaries (see
+    train/dqn.py::_rollout_pallas), so hi - lo is ~0-2 regardless of pool
+    size — opponent compute no longer scales with the pool."""
+    (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
+    E = bx.shape[1]
+    row_f = (1, E)
+    lo, hi = member_range
+
+    obs8 = obs8_from_rows(rows)                           # (8, E)
+
+    # ---- opponent action (mirror folded into weights): only the member
+    # slots actually present in this tile are computed
+    def member_body(k, act_a):
+        ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
+        adv_k = _advantage_t(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
+        a_k = _argmax3_rows(adv_k)
+        return jnp.where(opp == k, a_k, act_a)
+
+    act_a = jax.lax.fori_loop(
+        lo, hi + 1, member_body, jnp.zeros(row_f, jnp.int32)
+    )
+
+    # ---- learner action: factorized noise + epsilon-greedy
+    u1 = uniform((8, 128), 1e-7, 1.0, seed_mix, ctr, 1)
+    u2 = uniform((8, 128), 0.0, 1.0, seed_mix, ctr, 2)
+    nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+    eps_in = _scale_noise(nrm[0:1, 0:64])                 # (1, 64)
+    eps_out = _scale_noise(nrm[0:8, 64:65])               # (8, 1)
+    wa_eff = lw[4] + lw[6] * (eps_out * eps_in)           # (8, 64)
+    ba_eff = lw[5] + lw[7] * eps_out                      # (8, 1)
+    ba_eff = jnp.where(ba_eff < NEG_BIG * 0.5, NEG_BIG, ba_eff)
+    adv_b = _advantage_t(obs8, lw[0], lw[1], lw[2], lw[3], wa_eff, ba_eff)
+    greedy_b = _argmax3_rows(adv_b)
+    u_expl = uniform(row_f, 0.0, 1.0, seed_mix, ctr, 5)
+    rand_a = uniform(row_f, 0.0, 3.0, seed_mix, ctr, 6).astype(jnp.int32)
+    act_b = jnp.where(u_expl < epsilon, jnp.clip(rand_a, 0, 2), greedy_b)
+
+    return _env_transition(
+        params, cfg, uniform, seed_mix, rows, ctr, act_a, act_b, obs8
+    )
 
 
 def _rows_from_blocks(f_blk, i_blk):

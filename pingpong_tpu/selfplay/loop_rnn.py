@@ -113,8 +113,7 @@ class DRQNSelfPlay:
                 if params is not None:
                     self.params_a = params
                     self.key, k_state = jax.random.split(self.key)
-                    self.state = self.learner.init_state(
-                        k_state, params, n_opponent_slots=1 + len(self.pool))
+                    self.state = self.learner.init_state(k_state, params)
                     self.init_params = params
                     restored = True
                     self.logger.log(
@@ -125,8 +124,7 @@ class DRQNSelfPlay:
             params = self.learner.init_params(k_model)
             self.params_a = params
             self.init_params = params
-            self.state = self.learner.init_state(
-                k_state, params, n_opponent_slots=1 + len(self.pool))
+            self.state = self.learner.init_state(k_state, params)
             self.logger.log({"event": "restore", "tier": 3})
 
     # -- full-state autosave / restore (ref :630-667, :237-290) -------------
@@ -146,7 +144,6 @@ class DRQNSelfPlay:
             {
                 "generation": self.current_generation,
                 "done_generations": self.done_generations,
-                "n_opponent_slots": int(self.state.hid_opp.h.shape[0]),
                 "model_kind": "qnet_rnn",
             },
         )
@@ -160,11 +157,8 @@ class DRQNSelfPlay:
         )
 
         meta = load_metadata(path) or {}
-        n_slots = int(meta.get("n_opponent_slots", 1 + len(self.pool)))
         k0 = jax.random.PRNGKey(0)
-        template = self.learner.init_state(
-            k0, self.learner.init_params(k0), n_opponent_slots=n_slots
-        )
+        template = self.learner.init_state(k0, self.learner.init_params(k0))
         self.state, self.params_a, self.key, meta = restore_full_state(
             path, template, template.params_b, self.key,
         )
@@ -229,11 +223,9 @@ class DRQNSelfPlay:
         sp = self.cfg.selfplay
         goal = int(self.state.episodes) + episodes_target
         watch = Stopwatch()
-        # exactly-sized stack: opponent compute/hidden memory scale with
-        # slot count; pool growth costs one recompile per generation
-        self.state = self.learner.shard_state(
-            self.learner.resize_opponent_slots(self.state, 1 + len(self.pool))
-        )
+        # exactly-sized stack: opponent compute scales with slot count;
+        # pool growth costs one recompile per generation
+        self.state = self.learner.shard_state(self.state)
         opp, pool_size = stack_rnn_opponents(self.params_a, self.pool)
         pool_size = jnp.int32(pool_size)
         env_steps = 0

@@ -74,7 +74,6 @@ def test_drqn_rnn_pool_opponents():
     params_a = learner.init_params(jax.random.PRNGKey(1))
     pool = [learner.init_params(jax.random.PRNGKey(2))]
     opp, n = stack_rnn_opponents(params_a, pool)
-    state = learner.resize_opponent_slots(state, 1 + len(pool))
     games_pool = 0
     for _ in range(4):
         state, m = learner.train_iteration(state, opp, jnp.int32(n))
