@@ -104,7 +104,10 @@ def bench_train_iteration(pool_n: int = 0):
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)  # compile
     jax.block_until_ready(m.mean_loss)
-    iters = 5
+    for _ in range(3):  # settle into steady state (dispatch pipelining)
+        state, m = learner.train_iteration(state, opp, n)
+    jax.block_until_ready(m.mean_loss)
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = learner.train_iteration(state, opp, n)
@@ -128,7 +131,10 @@ def bench_drqn_iteration():
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)
     jax.block_until_ready(m.mean_loss)
-    iters = 5
+    for _ in range(3):
+        state, m = learner.train_iteration(state, opp, n)
+    jax.block_until_ready(m.mean_loss)
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = learner.train_iteration(state, opp, n)
