@@ -17,6 +17,21 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Timing discipline on this backend: jax.block_until_ready on DONATED
+# program outputs returns before execution completes (the tunnel runtime
+# marks aliased buffers ready at dispatch). The only reliable barrier is
+# a host fetch (np.asarray) of an output, and the fetch itself has a
+# large fixed latency — so every steady-state number below is a SLOPE:
+# (t(N2) - t(N1)) / (N2 - N1), each t ending in one host fetch.
+
+
+def _slope_time(run_n, n1=10, n2=50):
+    """True per-call seconds via two host-fetch-terminated timings."""
+    t1 = run_n(n1)
+    t2 = run_n(n2)
+    return (t2 - t1) / (n2 - n1)
 
 from pingpong_tpu.config import DQNConfig, EnvConfig
 from pingpong_tpu.env.pong import (
@@ -65,16 +80,18 @@ def bench_env_steps():
     rollout = make_rollout(env_params, BATCH, CHUNK)
 
     # warmup/compile
-    state, key, _ = rollout(state, key)
-    jax.block_until_ready(state)
+    state, key, rsum = rollout(state, key)
+    np.asarray(rsum)
 
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        state, key, rsum = rollout(state, key)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    steps = BATCH * CHUNK * REPEATS
-    return steps / dt
+    def run_n(n):
+        nonlocal state, key
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, key, rsum = rollout(state, key)
+        np.asarray(rsum)
+        return time.perf_counter() - t0
+
+    return BATCH * CHUNK / _slope_time(run_n, 2, 2 + REPEATS)
 
 
 def _bench_env_cfg():
@@ -103,17 +120,17 @@ def bench_train_iteration(pool_n: int = 0):
     opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), pool, pool_n)
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)  # compile
-    jax.block_until_ready(m.mean_loss)
-    for _ in range(3):  # settle into steady state (dispatch pipelining)
-        state, m = learner.train_iteration(state, opp, n)
-    jax.block_until_ready(m.mean_loss)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = learner.train_iteration(state, opp, n)
-    jax.block_until_ready(m.mean_loss)
-    dt = time.perf_counter() - t0
-    return cfg.num_envs * cfg.rollout_length * iters / dt
+    np.asarray(m.mean_loss)
+
+    def run_n(k):
+        nonlocal state, m
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, m = learner.train_iteration(state, opp, n)
+        np.asarray(m.mean_loss)
+        return time.perf_counter() - t0
+
+    return cfg.num_envs * cfg.rollout_length / _slope_time(run_n)
 
 
 def bench_drqn_iteration():
@@ -130,17 +147,17 @@ def bench_drqn_iteration():
     opp, n = stack_rnn_opponents(params, [])
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)
-    jax.block_until_ready(m.mean_loss)
-    for _ in range(3):
-        state, m = learner.train_iteration(state, opp, n)
-    jax.block_until_ready(m.mean_loss)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = learner.train_iteration(state, opp, n)
-    jax.block_until_ready(m.mean_loss)
-    dt = time.perf_counter() - t0
-    return cfg.num_envs * cfg.rollout_length * iters / dt
+    np.asarray(m.mean_loss)
+
+    def run_n(k):
+        nonlocal state, m
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, m = learner.train_iteration(state, opp, n)
+        np.asarray(m.mean_loss)
+        return time.perf_counter() - t0
+
+    return cfg.num_envs * cfg.rollout_length / _slope_time(run_n)
 
 
 def bench_pallas_rollout():
@@ -160,15 +177,18 @@ def bench_pallas_rollout():
         lambda s, seed: pallas_rollout(env_params, s, CHUNK, seed),
         static_argnums=(),
     )
-    state2, _ = run(state, 0)
-    jax.block_until_ready(state2.ball_x)
-    t0 = time.perf_counter()
-    s = state
-    for i in range(REPEATS):
-        s, _ = run(s, i + 1)
-    jax.block_until_ready(s.ball_x)
-    dt = time.perf_counter() - t0
-    return BATCH * CHUNK * REPEATS / dt
+    s, _ = run(state, 0)
+    np.asarray(s.ball_x[0])
+
+    def run_n(k):
+        nonlocal s
+        t0 = time.perf_counter()
+        for i in range(k):
+            s, _ = run(s, i + 1)
+        np.asarray(s.ball_x[0])
+        return time.perf_counter() - t0
+
+    return BATCH * CHUNK / _slope_time(run_n, 2, 2 + REPEATS)
 
 
 def main():
