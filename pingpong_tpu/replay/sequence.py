@@ -237,13 +237,21 @@ def seq_sample(
         t0 = jnp.where(take, cand_t0, t0)
         valid = valid | cand_ok
 
-    def gather(arr):
-        def one(b, t):
-            start = (b, t) + (0,) * (arr.ndim - 2)
-            sizes = (1, trace_length) + arr.shape[2:]
-            return jax.lax.dynamic_slice(arr, start, sizes)[0]
+    # windows as ONE flat row gather: a vmapped dynamic_slice lowers to a
+    # per-window general gather (~60ms at N=2048 on v5e); flattening the
+    # (env, time) plane and taking N*T rows in a single jnp.take is ~20x
+    # faster and bit-identical (ring rows never straddle the env axis:
+    # t0 <= ring - trace_length by construction of t_max above)
+    flat_idx = (
+        env[:, None] * ring + t0[:, None]
+        + jnp.arange(trace_length, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
 
-        return jax.vmap(one)(env, t0)
+    def gather(arr):
+        a = arr.reshape((num_envs * ring,) + arr.shape[2:])
+        return jnp.take(a, flat_idx, axis=0).reshape(
+            (batch_size, trace_length) + arr.shape[2:]
+        )
 
     return SeqSample(
         obs=gather(buf.obs),
