@@ -93,6 +93,12 @@ class DQNConfig:
     epsilon_decay: float = 0.995
     min_epsilon: float = 0.02
     target_update_interval: int = 1000
+    # Soft (Polyak) target updates: target <- target + tau*(online-target)
+    # after EVERY update instead of the reference's hard copy every
+    # target_update_interval steps. 0.0 = reference-parity hard sync.
+    # A learning-dynamics knob for from-scratch ladders, where hard syncs
+    # make the promotion gate luck-sensitive (ROADMAP item 3).
+    target_tau: float = 0.0
 
     # PER (train_iterative.py:49-76, 113-114)
     per_alpha: float = 0.6
@@ -114,6 +120,11 @@ class DQNConfig:
     # train_rnn_iterative.py:630-667); 0 disables.
     save_latest_checkpoint_interval_steps: int = 10_000
     latest_checkpoint_filename: str = "latest_qnet_training_state"
+    # Retention/GC (framework addition; reference keeps every checkpoint
+    # forever): newest N promoted / fault checkpoints to keep, 0 = keep
+    # all. The latest autosave and the init_model_path are never deleted.
+    keep_checkpoints: int = 0
+    keep_fault_checkpoints: int = 0
 
     # ---- TPU scaling knobs (no reference equivalent) ----
     # Fused Pallas actor-rollout kernel (ops/actor_rollout.py): whole
@@ -174,6 +185,10 @@ class DRQNConfig:
     epsilon_decay: float = 0.999
     min_epsilon: float = 0.05
     target_update_interval: int = 2000
+    # Soft (Polyak) target updates, as in DQNConfig. 0.0 = hard sync.
+    # tau > 0 disables the batched target-Q precompute (the target then
+    # evolves every update), costing ~2x update-block time.
+    target_tau: float = 0.0
     max_episode_steps: int = 1000
     grad_clip_norm: float = 1.0
 
@@ -183,6 +198,9 @@ class DRQNConfig:
     plot_dir_rnn: str = "plot_rnn"
     save_latest_checkpoint_interval_steps: int = 10_000
     latest_checkpoint_filename: str = "latest_rnn_training_state"
+    # Retention/GC, as in DQNConfig (0 = keep all, reference parity).
+    keep_checkpoints: int = 0
+    keep_fault_checkpoints: int = 0
 
     # ---- TPU scaling knobs ----
     # Fused Pallas recurrent actor-rollout (ops/recurrent_rollout.py):

@@ -274,6 +274,18 @@ class QNetSelfPlay:
             "model_kind": "qnet",
         }
         path = save_checkpoint(self.ckpt_dir / name, payload)
+        if self.cfg.keep_checkpoints > 0 or self.cfg.keep_fault_checkpoints > 0:
+            from pingpong_tpu.checkpoint.retention import apply_retention
+
+            deleted = apply_retention(
+                self.ckpt_dir,
+                keep_promoted=self.cfg.keep_checkpoints,
+                keep_faults=self.cfg.keep_fault_checkpoints,
+                protect=[Path(self.cfg.init_model_path).name]
+                if self.cfg.init_model_path else None,
+            )
+            if deleted:
+                self.logger.log({"event": "retention", "deleted": deleted})
         return str(path)
 
     # -- main loop ---------------------------------------------------------

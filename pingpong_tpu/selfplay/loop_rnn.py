@@ -216,7 +216,22 @@ class DRQNSelfPlay:
             "train_steps": int(self.state.train_steps),
             "model_kind": "qnet_rnn",
         }
-        return str(save_checkpoint(self.ckpt_dir / name, payload))
+        path = save_checkpoint(self.ckpt_dir / name, payload)
+        if self.cfg.keep_checkpoints > 0 or self.cfg.keep_fault_checkpoints > 0:
+            from pathlib import Path as _P
+
+            from pingpong_tpu.checkpoint.retention import apply_retention
+
+            deleted = apply_retention(
+                self.ckpt_dir,
+                keep_promoted=self.cfg.keep_checkpoints,
+                keep_faults=self.cfg.keep_fault_checkpoints,
+                protect=[_P(self.cfg.init_model_path_rnn).name]
+                if self.cfg.init_model_path_rnn else None,
+            )
+            if deleted:
+                self.logger.log({"event": "retention", "deleted": deleted})
+        return str(path)
 
     # -- training block ------------------------------------------------------
     def _train_block(self, episodes_target: int) -> None:

@@ -541,8 +541,13 @@ class DQNLearner:
                 buffer, sample.indices, td_abs, cfg.per_alpha, cfg.per_eps
             )
             train_steps = train_steps + 1
-            sync = (train_steps % cfg.target_update_interval) == 0
-            flat_t = jnp.where(sync, flat_b, flat_t)
+            if cfg.target_tau > 0.0:
+                # soft (Polyak) target updates (framework addition; the
+                # reference hard-copies every interval)
+                flat_t = flat_t + cfg.target_tau * (flat_b - flat_t)
+            else:
+                sync = (train_steps % cfg.target_update_interval) == 0
+                flat_t = jnp.where(sync, flat_b, flat_t)
             return (flat_b, flat_t, opt_state, buffer, train_steps,
                     frame), loss
 

@@ -668,8 +668,15 @@ class DRQNLearner:
             updates, opt_state = self.tx().update(grads, opt_state, flat_b)
             flat_b = optax.apply_updates(flat_b, updates)
             train_steps = train_steps + 1
-            sync = (train_steps % cfg.target_update_interval) == 0
-            flat_t = jnp.where(sync, flat_b, flat_t)
+            if cfg.target_tau > 0.0:
+                # soft (Polyak) target: evolves every update, so the
+                # precomputed target Q is permanently stale (synced=True
+                # from carry0 keeps the recompute branch active)
+                flat_t = flat_t + cfg.target_tau * (flat_b - flat_t)
+                sync = jnp.bool_(True)
+            else:
+                sync = (train_steps % cfg.target_update_interval) == 0
+                flat_t = jnp.where(sync, flat_b, flat_t)
             return (flat_b, flat_t, opt_state, train_steps, synced | sync), loss
 
         # readiness is CONSTANT across the block (no pushes during it):
@@ -677,7 +684,7 @@ class DRQNLearner:
         gate = cfg.batch_size * cfg.min_episodes_for_training_start
         ready = state.buffer.ep_count > gate
         carry0 = (flat_b0, flat_t0, state.opt_state, state.train_steps,
-                  jnp.bool_(False))
+                  jnp.bool_(cfg.target_tau > 0.0))
 
         def run_all(carry):
             # the one big MXU-shaped target pass lives inside the ready
