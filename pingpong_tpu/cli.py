@@ -167,6 +167,17 @@ def cmd_arena(args) -> int:
 
 def cmd_view(args) -> int:
     cfg = _load(args)
+    if args.live:
+        # real-time match on the native C++ engine + host numpy policies
+        # (no accelerator on the frame loop)
+        from pingpong_tpu.selfplay.pool import load_params_any
+        from pingpong_tpu.viewer.live import play_live
+
+        params_a = load_params_any(args.model_a) if args.model_a else None
+        params_b = load_params_any(args.model_b) if args.model_b else None
+        play_live(cfg.env, params_a, params_b, episodes=args.episodes,
+                  seed=cfg.seed, size=cfg.env.render_size)
+        return 0
     from pingpong_tpu.viewer.replay import run_viewer
 
     return run_viewer(
@@ -244,6 +255,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="view.gif")
     p.add_argument("--episodes", type=int, default=1)
     p.add_argument("--interactive", action="store_true", help="pygame window")
+    p.add_argument(
+        "--live", action="store_true",
+        help="real-time pygame match on the native C++ engine "
+             "(host inference, no accelerator)",
+    )
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser(
