@@ -62,17 +62,37 @@ def save_train_state(path, state: Any, metadata: Optional[dict] = None) -> str:
 
 
 def restore_train_state(path, template: Any) -> Any:
-    """Restore into the structure (and shardings) of ``template``."""
+    """Restore into the structure (and shardings) of ``template``.
+
+    Shardings are passed to Orbax as restore args, so leaves land
+    directly on the template's mesh placement (no host round trip and no
+    "sharding info not provided" warning); a fallback path re-places via
+    ``device_put`` if the installed Orbax rejects the restore args."""
+    import orbax.checkpoint as ocp
+
     path = Path(path).resolve()
     template_leaves = jax.tree_util.tree_leaves(template)
-    restored = _checkpointer().restore(path, item=template_leaves)
     treedef = jax.tree_util.tree_structure(template)
-    leaves = [
-        jax.device_put(np.asarray(r), t.sharding)
-        if hasattr(t, "sharding") else jax.numpy.asarray(r)
-        for r, t in zip(restored, template_leaves)
-    ]
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    try:
+        restore_args = [
+            ocp.ArrayRestoreArgs(
+                sharding=t.sharding, dtype=t.dtype, global_shape=t.shape
+            )
+            if hasattr(t, "sharding") else ocp.RestoreArgs()
+            for t in template_leaves
+        ]
+        restored = _checkpointer().restore(
+            path, item=template_leaves, restore_args=restore_args
+        )
+        return jax.tree_util.tree_unflatten(treedef, restored)
+    except (TypeError, ValueError):
+        restored = _checkpointer().restore(path, item=template_leaves)
+        leaves = [
+            jax.device_put(np.asarray(r), t.sharding)
+            if hasattr(t, "sharding") else jax.numpy.asarray(r)
+            for r, t in zip(restored, template_leaves)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def load_metadata(path) -> Optional[dict]:
