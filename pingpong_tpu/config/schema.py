@@ -130,8 +130,8 @@ class DQNConfig:
     # Fused Pallas actor-rollout kernel (ops/actor_rollout.py): whole
     # rollout chunk in one kernel, env state + weights resident in VMEM,
     # lane-major layout (envs along lanes). Both modes compile and run on
-    # real TPU (Mosaic) and beat the XLA scan path by ~8x on the training
-    # path (~290M vs ~45M env-steps/s incl. transition emission on v5e),
+    # real TPU (Mosaic) and beat the XLA scan path by ~7x on the training
+    # path (~440M vs ~60M env-steps/s incl. transition emission on v5e),
     # so both default ON. use_pallas_rollout is the training path (emits
     # transition slabs), use_pallas_eval the no-transitions mode that
     # streams eval episodes through promotion gates. On CPU backends the
