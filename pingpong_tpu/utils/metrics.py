@@ -73,7 +73,11 @@ class MetricsLogger:
 
     def log(self, record: dict) -> None:
         if self._fh:
-            self._fh.write(json.dumps(record) + "\n")
+            # wall-clock stamp on the persisted line only (console stays
+            # compact); lets post-hoc tooling compute per-generation and
+            # gen-N wall-clock (the BASELINE.json headline) from any run
+            stamped = {"ts": round(time.time(), 3), **record}
+            self._fh.write(json.dumps(stamped) + "\n")
             self._fh.flush()
         if self.echo:
             parts = []
