@@ -571,7 +571,9 @@ class DRQNLearner:
         q, _ = qnet_rnn_apply(
             target_params, next_obs, self._zero_hidden(n), None
         )
-        return q, self._zero_hidden(n)
+        # burn == 0: h0_t is identically zero — callers use a fresh zero
+        # hidden instead of threading dead state through the update scan
+        return q, None
 
     def _update(self, state: DRQNTrainState):
         """K DRQN updates. Like train/dqn.py, the scan carries RAVELED
@@ -617,11 +619,18 @@ class DRQNLearner:
             def stale(_):
                 # a sync happened earlier in this block: the precomputed
                 # target Q is stale — recompute from the live target
-                return self._target_q(unravel(flat_t), sample.next_obs)
+                q, h = self._target_q(unravel(flat_t), sample.next_obs)
+                return (q, h) if burn > 0 else (q,)
 
-            q_next_target, h0_t = jax.lax.cond(
-                synced, stale, lambda _: (qt_pre, h0t_pre), None
-            )
+            if burn > 0:
+                q_next_target, h0_t = jax.lax.cond(
+                    synced, stale, lambda _: (qt_pre, h0t_pre), None
+                )
+            else:
+                (q_next_target,) = jax.lax.cond(
+                    synced, stale, lambda _: (qt_pre,), None
+                )
+                h0_t = self._zero_hidden(bs)
             w = sample.valid.astype(jnp.float32)
 
             def loss_fn(flat):
@@ -693,11 +702,15 @@ class DRQNLearner:
                 unravel(carry[1]), sample_flat.next_obs
             )
             qt_all = qt_all.reshape(K, bs, -1)
-            h0t_all = jax.tree_util.tree_map(
-                lambda x: x.reshape(x.shape[0], K, bs, x.shape[-1])
-                .swapaxes(0, 1),
-                h0t_all,
-            )
+            if burn > 0:
+                h0t_all = jax.tree_util.tree_map(
+                    lambda x: x.reshape(x.shape[0], K, bs, x.shape[-1])
+                    .swapaxes(0, 1),
+                    h0t_all,
+                )
+            else:
+                # zeros — not threaded through the scan (see _target_q)
+                h0t_all = jnp.zeros((K,), jnp.float32)
             return jax.lax.scan(
                 do_update, carry, (noise_all, sample_all, qt_all, h0t_all),
                 length=K,
