@@ -1,0 +1,565 @@
+"""Pallas TPU kernel: fused DRQN update block — K SGD steps in one program.
+
+The XLA update scan costs ~190us per update on v5e: each of the K
+serialized Double-DQN steps dispatches dozens of small kernels (feature
+MLP, 8 LSTM cells forward AND backward, noisy dueling head, Huber loss,
+global-norm clip, Adam) whose per-op latency — not FLOPs — is the
+wall-clock. This kernel runs the ENTIRE block of
+``train/drqn.py::_update`` as ONE program: all online/target parameters
+and both Adam moments stay resident in VMEM across all K updates; the
+LSTM backward (BPTT over the trace) is hand-derived; the optimizer is
+bit-compatible with the XLA path's ``clip_by_global_norm + adam`` on the
+raveled vector (elementwise Adam == flat Adam; global norm is summed
+across every tensor, padding columns contribute exact zeros).
+
+Layout follows :mod:`pingpong_tpu.ops.recurrent_rollout`: everything is
+TRANSPOSED with N = batch·time on lanes.
+
+* the fused online forward runs obs‖next_obs as one 2·bs-lane pass with
+  T-major lane order, so LSTM step t is the contiguous lane slice
+  ``[t·B2, (t+1)·B2)``;
+* gradient flows only through the obs half (Double-DQN: the next-obs
+  argmax is integer, the target is stop-grad), so the 2·bs-lane backward
+  masks dq on the next half — lanes are parallel, the dead half costs no
+  wall-clock;
+* the target forward recomputes per update IN-KERNEL (three matmul
+  chains are cheaper than any staleness bookkeeping once launch overhead
+  is gone), which makes hard syncs and soft (Polyak) targets exact by
+  construction.
+
+Supported shapes (callers fall back to the XLA path otherwise): one LSTM
+layer, shared noisy head present, dims <= 128 (the reference's shipped
+architecture), ``burn_in_length == 0``, and ``2*batch_size`` a multiple
+of 128 lanes (bs=64 default). Reference semantics source:
+``/root/reference/scripts/train_rnn_iterative.py:400-531``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pingpong_tpu.models.qnet_rnn import QNetRNNNoise, QNetRNNParams
+
+NEG_BIG = -1e30
+
+
+class UpdParams(NamedTuple):
+    """Transposed parameter tensors (padded); one pytree each for the
+    online net, the target net, and the two Adam moments. Pads: obs col
+    7, V rows 1-7, A rows 3-7 — all stay exactly zero through training
+    (zero inputs => zero grads => zero Adam updates)."""
+
+    w1t: jax.Array       # (F1, 8)    feat1, col 7 pad
+    b1t: jax.Array       # (F1, 1)
+    w2t: jax.Array       # (F, F1)    feat2
+    b2t: jax.Array       # (F, 1)
+    wiht: jax.Array      # (4H, F)
+    whht: jax.Array      # (4H, H)
+    biht: jax.Array      # (4H, 1)
+    bhht: jax.Array      # (4H, 1)
+    wst_mu: jax.Array    # (HH, H)    shared noisy
+    wst_sig: jax.Array   # (HH, H)
+    bst_mu: jax.Array    # (HH, 1)
+    bst_sig: jax.Array   # (HH, 1)
+    wvt_mu: jax.Array    # (8, HH)    V head, row 0 real
+    wvt_sig: jax.Array   # (8, HH)
+    bvt_mu: jax.Array    # (8, 1)
+    bvt_sig: jax.Array   # (8, 1)
+    wat_mu: jax.Array    # (8, HH)    A head, rows 0-2 real
+    wat_sig: jax.Array   # (8, HH)
+    bat_mu: jax.Array    # (8, 1)
+    bat_sig: jax.Array   # (8, 1)
+
+
+class UpdNoise(NamedTuple):
+    """Per-update transposed factorized noise (leading K axis)."""
+
+    est_w: jax.Array     # (K, HH, H)
+    est_b: jax.Array     # (K, HH, 1)
+    evt_w: jax.Array     # (K, 8, HH)
+    evt_b: jax.Array     # (K, 8, 1)
+    eat_w: jax.Array     # (K, 8, HH)
+    eat_b: jax.Array     # (K, 8, 1)
+
+
+def pack_upd_params(p: QNetRNNParams) -> UpdParams:
+    """QNetRNNParams -> transposed/padded kernel tensors."""
+    f1 = p.feat1.w.shape[1]
+    lst = p.lstm[0]
+
+    def pad_rows(x, rows):
+        return jnp.zeros((rows, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+
+    w1t = jnp.zeros((f1, 8), jnp.float32).at[:, :7].set(p.feat1.w.T)
+    return UpdParams(
+        w1t=w1t,
+        b1t=p.feat1.b[:, None],
+        w2t=p.feat2.w.T,
+        b2t=p.feat2.b[:, None],
+        wiht=lst.w_ih.T,
+        whht=lst.w_hh.T,
+        biht=lst.b_ih[:, None],
+        bhht=lst.b_hh[:, None],
+        wst_mu=p.shared.w_mu.T,
+        wst_sig=p.shared.w_sigma.T,
+        bst_mu=p.shared.b_mu[:, None],
+        bst_sig=p.shared.b_sigma[:, None],
+        wvt_mu=pad_rows(p.fc_v.w_mu.T, 8),
+        wvt_sig=pad_rows(p.fc_v.w_sigma.T, 8),
+        bvt_mu=pad_rows(p.fc_v.b_mu[:, None], 8),
+        bvt_sig=pad_rows(p.fc_v.b_sigma[:, None], 8),
+        wat_mu=pad_rows(p.fc_a.w_mu.T, 8),
+        wat_sig=pad_rows(p.fc_a.w_sigma.T, 8),
+        bat_mu=pad_rows(p.fc_a.b_mu[:, None], 8),
+        bat_sig=pad_rows(p.fc_a.b_sigma[:, None], 8),
+    )
+
+
+def unpack_upd_params(u: UpdParams, template: QNetRNNParams) -> QNetRNNParams:
+    """Kernel tensors -> QNetRNNParams with the template's shapes."""
+    lst = template.lstm[0]
+    n_act = template.fc_a.w_mu.shape[1]
+    return QNetRNNParams(
+        feat1=template.feat1._replace(
+            w=u.w1t[:, :7].T, b=u.b1t[:, 0]
+        ),
+        feat2=template.feat2._replace(w=u.w2t.T, b=u.b2t[:, 0]),
+        lstm=(
+            lst._replace(
+                w_ih=u.wiht.T, w_hh=u.whht.T,
+                b_ih=u.biht[:, 0], b_hh=u.bhht[:, 0],
+            ),
+        ),
+        shared=template.shared._replace(
+            w_mu=u.wst_mu.T, w_sigma=u.wst_sig.T,
+            b_mu=u.bst_mu[:, 0], b_sigma=u.bst_sig[:, 0],
+        ),
+        fc_v=template.fc_v._replace(
+            w_mu=u.wvt_mu[:1].T, w_sigma=u.wvt_sig[:1].T,
+            b_mu=u.bvt_mu[:1, 0], b_sigma=u.bvt_sig[:1, 0],
+        ),
+        fc_a=template.fc_a._replace(
+            w_mu=u.wat_mu[:n_act].T, w_sigma=u.wat_sig[:n_act].T,
+            b_mu=u.bat_mu[:n_act, 0], b_sigma=u.bat_sig[:n_act, 0],
+        ),
+    )
+
+
+def pack_upd_noise(noise_all: QNetRNNNoise) -> UpdNoise:
+    """(K,)-stacked QNetRNNNoise -> transposed kernel tensors."""
+
+    def pad_mid(x, rows):
+        # (K, n, HH) -> (K, rows, HH)
+        K, n, hh = x.shape
+        return jnp.zeros((K, rows, hh), x.dtype).at[:, :n].set(x)
+
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    return UpdNoise(
+        est_w=tr(noise_all.shared.eps_w),
+        est_b=noise_all.shared.eps_b[:, :, None],
+        evt_w=pad_mid(tr(noise_all.v.eps_w), 8),
+        evt_b=pad_mid(noise_all.v.eps_b[:, :, None], 8),
+        eat_w=pad_mid(tr(noise_all.a.eps_w), 8),
+        eat_b=pad_mid(noise_all.a.eps_b[:, :, None], 8),
+    )
+
+
+def _sg(x):
+    return jax.lax.stop_gradient(x)
+
+
+def _rowsum(x):
+    return jnp.sum(x, axis=1, keepdims=True)
+
+
+def _mm_tn(a, b):
+    """a @ b.T with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm_nt(a, b):
+    """a.T @ b  ==  dot over the row (sublane) axes."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _update_kernel(
+    # refs ---------------------------------------------------------------
+    ts_ref,            # (1, 2) i32 SMEM — [train_steps, adam_count]
+    obs_ref,           # (1, 8, T*B2) f32 block — obs‖next, T-major lanes
+    meta_ref,          # (1, 8, bs) f32 block — rows: act, rew, done, valid
+    noise_ref,         # UpdNoise pytree of (1, ...) blocks
+    online_in,         # UpdParams pytree (inputs)
+    target_in,         # UpdParams pytree
+    m_in,              # UpdParams pytree (Adam m)
+    v_in,              # UpdParams pytree (Adam v)
+    online_out,        # UpdParams pytree (outputs; persist across the
+    target_out,        #   sequential K-grid — accumulator pattern)
+    m_out,
+    v_out,
+    losses_ref,        # (1, K) f32 SMEM — one scalar per grid step
+    ts_out,            # (1, 1) i32
+    *,
+    dims,              # (F1, F, H, HH)
+    K: int,
+    bs: int,
+    T: int,
+    lr: float,
+    clip: float,
+    gamma: float,
+    interval: int,
+    tau: float,
+    b1: float,
+    b2: float,
+    eps: float,
+):
+    F1, F, H, HH = dims
+    B2 = 2 * bs
+    N = T * B2
+    k = pl.program_id(0)
+    del online_in, target_in, m_in, v_in  # aliased onto the output refs
+
+    ts0 = ts_ref[0, 0]
+    count0 = ts_ref[0, 1]
+
+    def fwd_feats(P, xt):
+        """Feature MLP + LSTM input projection on (8, N) inputs."""
+        f1 = jnp.maximum(_mm(P.w1t[...], xt) + P.b1t[...], 0.0)
+        f2 = jnp.maximum(_mm(P.w2t[...], f1) + P.b2t[...], 0.0)
+        xp = _mm(P.wiht[...], f2) + P.biht[...] + P.bhht[...]
+        return f1, f2, xp
+
+    if True:
+        xt = obs_ref[0]                      # (8, N)
+        act = meta_ref[0, 0:1, :]            # (1, bs) f32 in {0,1,2}
+        rew = meta_ref[0, 1:2, :]
+        done = meta_ref[0, 2:3, :]
+        wmask = meta_ref[0, 3:4, :]
+
+        # ---- online fused forward (obs‖next), activations stored ------
+        O = online_out
+        f1, f2, xp = fwd_feats(O, xt)
+        # noisy effective head weights for this update
+        wst = O.wst_mu[...] + O.wst_sig[...] * noise_ref.est_w[0]
+        bst = O.bst_mu[...] + O.bst_sig[...] * noise_ref.est_b[0]
+        wvt = O.wvt_mu[...] + O.wvt_sig[...] * noise_ref.evt_w[0]
+        bvt = O.bvt_mu[...] + O.bvt_sig[...] * noise_ref.evt_b[0]
+        wat = O.wat_mu[...] + O.wat_sig[...] * noise_ref.eat_w[0]
+        bat = O.bat_mu[...] + O.bat_sig[...] * noise_ref.eat_b[0]
+        whht = O.whht[...]
+
+        def lstm_fwd(xp_all, whh, store: bool):
+            h = jnp.zeros((H, B2), jnp.float32)
+            c = jnp.zeros((H, B2), jnp.float32)
+            acts = []
+            for t in range(T):
+                g = xp_all[:, t * B2:(t + 1) * B2] + _mm(whh, h)
+                i = _sigmoid(g[0:H])
+                f = _sigmoid(g[H:2 * H])
+                gg = jnp.tanh(g[2 * H:3 * H])
+                o = _sigmoid(g[3 * H:4 * H])
+                c_new = f * c + i * gg
+                h_new = o * jnp.tanh(c_new)
+                if store:
+                    acts.append((i, f, gg, o, c, c_new, h))
+                h, c = h_new, c_new
+            return h, acts
+
+        h_T, acts = lstm_fwd(xp, whht, store=True)
+        s_pre = _mm(wst, h_T) + bst
+        s = jnp.maximum(s_pre, 0.0)
+        v8 = _mm(wvt, s) + bvt               # (8, B2), row 0 real
+        a8 = _mm(wat, s) + bat               # rows 0-2 real
+        a_mean = (a8[0:1] + a8[1:2] + a8[2:3]) / 3.0
+        q8 = v8[0:1] + a8 - a_mean           # (8, B2) rows 0-2 = Q
+
+        q_s = q8[:, :bs]                     # learner Q(s) rows 0-2
+        q_ns = q8[:, bs:]                    # online Q(s') for argmax
+
+        # ---- target forward on the SAME (obs‖next) lanes, mu-only -----
+        Tg = target_out
+        _, _, xp_t = fwd_feats(Tg, xt)
+        h_Tt, _ = lstm_fwd(xp_t, Tg.whht[...], store=False)
+        s_t = jnp.maximum(_mm(Tg.wst_mu[...], h_Tt) + Tg.bst_mu[...], 0.0)
+        v8t = _mm(Tg.wvt_mu[...], s_t) + Tg.bvt_mu[...]
+        a8t = _mm(Tg.wat_mu[...], s_t) + Tg.bat_mu[...]
+        q8t = v8t[0:1] + a8t - (a8t[0:1] + a8t[1:2] + a8t[2:3]) / 3.0
+        q_t = q8t[:, bs:]                    # target Q(s')
+
+        # ---- Double-DQN TD + masked Huber ------------------------------
+        na0 = (q_ns[1:2] > q_ns[0:1]).astype(jnp.float32)
+        na = jnp.where(
+            q_ns[2:3] > jnp.maximum(q_ns[0:1], q_ns[1:2]),
+            2.0,
+            na0,
+        )                                    # (1, bs) argmax in {0,1,2}
+        sel = lambda q, idx: (
+            q[0:1] * (idx == 0.0) + q[1:2] * (idx == 1.0)
+            + q[2:3] * (idx == 2.0)
+        )
+        nq = sel(q_t, na)
+        q_a = sel(q_s, act)
+        y = rew + gamma * nq * (1.0 - done)
+        td = q_a - y
+        huber = jnp.where(jnp.abs(td) <= 1.0, 0.5 * td * td,
+                          jnp.abs(td) - 0.5)
+        denom = jnp.maximum(jnp.sum(wmask), 1.0)
+        loss = jnp.sum(wmask * huber) / denom
+        losses_ref[0, k] = loss
+
+        # ---- backward ---------------------------------------------------
+        # dL/dq_a, spread to the action's row; next-half lanes get zero
+        dq_a = wmask * jnp.clip(td, -1.0, 1.0) / denom   # (1, bs)
+        zeros_b = jnp.zeros((1, bs), jnp.float32)
+        row = lambda j: jnp.concatenate(
+            [dq_a * (act == float(j)), zeros_b], axis=1
+        )
+        dq_rows = [row(0), row(1), row(2)]
+        dq_sum = dq_rows[0] + dq_rows[1] + dq_rows[2]    # (1, B2) == dV
+        # q_j = v + a_j - mean(a): da_j = dq_j - mean_j(dq); dv = sum dq
+        pad5 = jnp.zeros((5, B2), jnp.float32)
+        da8 = jnp.concatenate(
+            [dq_rows[0] - dq_sum / 3.0, dq_rows[1] - dq_sum / 3.0,
+             dq_rows[2] - dq_sum / 3.0, pad5], axis=0
+        )                                               # (8, B2)
+        dv8 = jnp.concatenate(
+            [dq_sum, jnp.zeros((7, B2), jnp.float32)], axis=0
+        )
+
+        # head: v8 = wvt@s + bvt ; a8 = wat@s + bat ; s = relu(wst@h + bst)
+        dwvt = _mm_tn(dv8, s)                # (8, B2)@(B2->HH)  = (8, HH)
+        dbvt = _rowsum(dv8)
+        dwat = _mm_tn(da8, s)
+        dbat = _rowsum(da8)
+        ds = _mm_nt(wvt, dv8) + _mm_nt(wat, da8)        # (HH, B2)
+        ds_pre = ds * (s_pre > 0.0)
+        dwst = _mm_tn(ds_pre, h_T)                       # (HH, H)
+        dbst = _rowsum(ds_pre)
+        dh = _mm_nt(wst, ds_pre)                         # (H, B2)
+
+        # BPTT
+        dwhh = jnp.zeros((4 * H, H), jnp.float32)
+        dg_slabs = [None] * T
+        dc = jnp.zeros((H, B2), jnp.float32)
+        for t in range(T - 1, -1, -1):
+            i, f, gg, o, c_prev, c_new, h_prev = acts[t]
+            tc = jnp.tanh(c_new)
+            do = dh * tc
+            dc = dc + dh * o * (1.0 - tc * tc)
+            di = dc * gg
+            df = dc * c_prev
+            dgg = dc * i
+            dg = jnp.concatenate([
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dgg * (1.0 - gg * gg),
+                do * o * (1.0 - o),
+            ], axis=0)                                   # (4H, B2)
+            dwhh = dwhh + _mm_tn(dg, h_prev)
+            dg_slabs[t] = dg
+            dh = _mm_nt(whht, dg)
+            dc = dc * f
+        dxp = jnp.concatenate(dg_slabs, axis=1)          # (4H, N), T-major
+
+        dbg = _rowsum(dxp)                               # == dbih == dbhh
+        dwih = _mm_tn(dxp, f2)                           # (4H, F)
+        df2 = _mm_nt(O.wiht[...], dxp)                   # (F, N)
+        dz2 = df2 * (f2 > 0.0)
+        dw2 = _mm_tn(dz2, f1)                            # (F, F1)
+        db2 = _rowsum(dz2)
+        df1 = _mm_nt(O.w2t[...], dz2)
+        dz1 = df1 * (f1 > 0.0)
+        dw1 = _mm_tn(dz1, xt)                            # (F1, 8)
+        db1 = _rowsum(dz1)
+
+        grads = UpdParams(
+            w1t=dw1, b1t=db1, w2t=dw2, b2t=db2,
+            wiht=dwih, whht=dwhh, biht=dbg, bhht=dbg,
+            wst_mu=dwst, wst_sig=dwst * noise_ref.est_w[0],
+            bst_mu=dbst, bst_sig=dbst * noise_ref.est_b[0],
+            wvt_mu=dwvt, wvt_sig=dwvt * noise_ref.evt_w[0],
+            bvt_mu=dbvt, bvt_sig=dbvt * noise_ref.evt_b[0],
+            wat_mu=dwat, wat_sig=dwat * noise_ref.eat_w[0],
+            bat_mu=dbat, bat_sig=dbat * noise_ref.eat_b[0],
+        )
+
+        # ---- clip_by_global_norm + Adam (== flat-vector optax chain) ---
+        gsq = sum(jnp.sum(g * g) for g in grads)
+        gnorm = jnp.sqrt(gsq)
+        scale = clip / jnp.maximum(gnorm, clip)
+        import math as _math
+
+        step = (count0 + k + 1).astype(jnp.float32)
+        # Mosaic has no scalar powf: b^t == exp(t*log b), log b static
+        bc1 = 1.0 - jnp.exp(step * _math.log(b1))
+        bc2 = 1.0 - jnp.exp(step * _math.log(b2))
+        sync = ((ts0 + k + 1) % interval) == 0
+        for j, g in enumerate(grads):
+            g = g * scale
+            mj = m_out[j][...] * b1 + g * (1.0 - b1)
+            vj = v_out[j][...] * b2 + g * g * (1.0 - b2)
+            m_out[j][...] = mj
+            v_out[j][...] = vj
+            upd = (mj / bc1) / (jnp.sqrt(vj / bc2) + eps)
+            p_new = online_out[j][...] - lr * upd
+            online_out[j][...] = p_new
+            if tau > 0.0:
+                target_out[j][...] = (
+                    target_out[j][...] + tau * (p_new - target_out[j][...])
+                )
+            else:
+                target_out[j][...] = jnp.where(
+                    sync, p_new, target_out[j][...]
+                )
+    ts_out[0, 0] = ts0 + K
+
+
+def supports_pallas_update(cfg) -> bool:
+    return (
+        cfg.lstm_layers == 1
+        and cfg.head_hidden_dim > 0
+        and max(cfg.feature_dim, cfg.lstm_hidden_dim, cfg.head_hidden_dim)
+        <= 128
+        and cfg.burn_in_length == 0
+        and (2 * cfg.batch_size) % 128 == 0
+        and (2 * cfg.batch_size * cfg.trace_length) * 4 * 4 <= 4 * 2**20
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "bs", "T", "lr", "clip", "gamma", "interval", "tau",
+        "interpret",
+    ),
+)
+def pallas_drqn_update_block(
+    train_steps: jax.Array,          # i32 scalar (drives the sync schedule)
+    adam_count: jax.Array,           # i32 scalar (optax adam step count)
+    obs_seq: jax.Array,              # (K, bs, T, 7) f32
+    next_seq: jax.Array,             # (K, bs, T, 7)
+    action: jax.Array,               # (K, bs) i32 (last step)
+    reward: jax.Array,               # (K, bs) f32
+    done: jax.Array,                 # (K, bs) f32/bool
+    valid: jax.Array,                # (K, bs) bool
+    noise: UpdNoise,
+    online: UpdParams,
+    target: UpdParams,
+    m: UpdParams,
+    v: UpdParams,
+    *,
+    K: int,
+    bs: int,
+    T: int,
+    lr: float,
+    clip: float,
+    gamma: float,
+    interval: int,
+    tau: float,
+    interpret: bool = False,
+):
+    """Run K fused updates; returns (online', target', m', v', losses,
+    train_steps')."""
+    F1 = online.w1t.shape[0]
+    F = online.w2t.shape[0]
+    H = online.whht.shape[1]
+    HH = online.wst_mu.shape[0]
+    B2 = 2 * bs
+    N = T * B2
+
+    # (K, bs, T, 7) pair -> (K, 8, T*B2) transposed, T-major lanes:
+    # lane index = t*B2 + b, where b < bs is the obs half.
+    both = jnp.concatenate([obs_seq, next_seq], axis=1)     # (K, B2, T, 7)
+    xt = jnp.transpose(both, (0, 3, 2, 1))                  # (K, 7, T, B2)
+    xt = xt.reshape(K, 7, N)
+    xt = jnp.concatenate(
+        [xt, jnp.zeros((K, 1, N), jnp.float32)], axis=1
+    )                                                       # pad obs dim
+    meta = jnp.stack([
+        action.astype(jnp.float32),
+        reward.astype(jnp.float32),
+        done.astype(jnp.float32),
+        valid.astype(jnp.float32),
+    ], axis=1)                                              # (K, 4, bs)
+    meta = jnp.concatenate(
+        [meta, jnp.zeros((K, 4, bs), jnp.float32)], axis=1
+    )                                                       # (K, 8, bs)
+    ts = jnp.stack([
+        jnp.asarray(train_steps, jnp.int32),
+        jnp.asarray(adam_count, jnp.int32),
+    ]).reshape(1, 2)
+
+    kernel = functools.partial(
+        _update_kernel,
+        dims=(F1, F, H, HH),
+        K=K, bs=bs, T=T, lr=lr, clip=clip, gamma=gamma,
+        interval=interval, tau=tau,
+        b1=0.9, b2=0.999, eps=1e-8,
+    )
+    # grid = K sequential updates; per-update inputs are k-indexed blocks,
+    # parameter/moment state lives in constant-index output blocks that
+    # persist across grid steps (TPU grids run sequentially on the TC)
+    def _const_spec(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda k, _n=nd: (0,) * _n)
+
+    param_specs = jax.tree_util.tree_map(_const_spec, online)
+
+    def _kblock_spec(x):
+        rest = x.shape[1:]
+        nz = len(rest)
+        return pl.BlockSpec((1,) + rest, lambda k, _n=nz: (k,) + (0,) * _n)
+
+    noise_specs = jax.tree_util.tree_map(_kblock_spec, noise)
+    shapes = lambda tree: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+    )
+    # flat input order: ts(0) xt(1) meta(2) noise(3..8) online(9..28)
+    # target(29..48) m(49..68) v(69..88); flat output order: online(0..19)
+    # target(20..39) m(40..59) v(60..79) losses(80) ts(81)
+    n_p = len(online)
+    aliases = {9 + i: i for i in range(4 * n_p)}
+    out = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        input_output_aliases=aliases,
+        in_specs=(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            _kblock_spec(xt),
+            _kblock_spec(meta),
+            noise_specs,
+            param_specs, param_specs, param_specs, param_specs,
+        ),
+        out_specs=(
+            param_specs, param_specs, param_specs, param_specs,
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+        ),
+        out_shape=(
+            shapes(online), shapes(target), shapes(m), shapes(v),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(ts, xt, meta, noise, online, target, m, v)
+    online2, target2, m2, v2, losses8, ts2 = out
+    return online2, target2, m2, v2, losses8[0], ts2[0, 0]

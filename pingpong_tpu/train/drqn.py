@@ -136,6 +136,15 @@ class DRQNLearner:
             and max(cfg.feature_dim, cfg.lstm_hidden_dim,
                     cfg.head_hidden_dim) <= 128
         )
+        # fused update block: TPU-only (the interpreter would dominate CPU
+        # test runs); exact-semantics fallback is the XLA scan below
+        from pingpong_tpu.ops.drqn_update import supports_pallas_update
+
+        self._pallas_update_ok = (
+            cfg.use_pallas_update
+            and supports_pallas_update(cfg)
+            and jax.default_backend() == "tpu"
+        )
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
 
     def shard_state(self, state: "DRQNTrainState") -> "DRQNTrainState":
@@ -575,6 +584,93 @@ class DRQNLearner:
         # hidden instead of threading dead state through the update scan
         return q, None
 
+    def _update_pallas(self, state: DRQNTrainState):
+        """Fused update block: all K SGD steps in one Pallas program (see
+        ops/drqn_update.py). Key discipline and sampling are IDENTICAL to
+        the XLA path below; the optimizer state stays in the optax chain
+        layout (count, mu, nu on the raveled vector), converted to packed
+        tensors around the kernel call — checkpoints and restore tiers
+        are format-identical across both paths."""
+        from jax.flatten_util import ravel_pytree
+
+        from pingpong_tpu.ops.drqn_update import (
+            pack_upd_noise,
+            pack_upd_params,
+            pallas_drqn_update_block,
+            unpack_upd_params,
+        )
+
+        cfg = self.cfg
+        bs = cfg.batch_size
+        K = cfg.updates_per_iteration
+        flat_b0, unravel = self._flat_util(state.params_b)
+        flat_t0, _ = self._flat_util(state.target_b)
+
+        key, k_noise = jax.random.split(state.key)
+        noise_all = jax.vmap(
+            lambda k: qnet_rnn_sample_noise(k, state.params_b)
+        )(jax.random.split(k_noise, K))
+        key, k_samples = jax.random.split(key)
+        sample_flat = seq_sample(
+            state.buffer, k_samples, K * bs, cfg.trace_length
+        )
+        sample = jax.tree_util.tree_map(
+            lambda x: x.reshape((K, bs) + x.shape[1:]), sample_flat
+        )
+
+        # optax chain(clip, adam) state leaves == [count, mu, nu]
+        opt_leaves, opt_def = jax.tree_util.tree_flatten(state.opt_state)
+        count, mu_flat, nu_flat = opt_leaves
+
+        gate = cfg.batch_size * cfg.min_episodes_for_training_start
+        ready = state.buffer.ep_count > gate
+
+        def run(_):
+            o2, t2, m2, v2, losses, ts2 = pallas_drqn_update_block(
+                state.train_steps, count,
+                sample.obs, sample.next_obs,
+                sample.action[:, :, -1], sample.reward[:, :, -1],
+                sample.done[:, :, -1], sample.valid,
+                pack_upd_noise(noise_all),
+                pack_upd_params(state.params_b),
+                pack_upd_params(state.target_b),
+                pack_upd_params(unravel(mu_flat)),
+                pack_upd_params(unravel(nu_flat)),
+                K=K, bs=bs, T=cfg.trace_length,
+                lr=cfg.lr, clip=cfg.grad_clip_norm, gamma=cfg.gamma,
+                interval=cfg.target_update_interval, tau=cfg.target_tau,
+            )
+            tmpl = state.params_b
+            return (
+                ravel_pytree(unpack_upd_params(o2, tmpl))[0],
+                ravel_pytree(unpack_upd_params(t2, tmpl))[0],
+                ravel_pytree(unpack_upd_params(m2, tmpl))[0],
+                ravel_pytree(unpack_upd_params(v2, tmpl))[0],
+                losses, ts2, count + K,
+            )
+
+        def skip(_):
+            return (flat_b0, flat_t0, mu_flat, nu_flat,
+                    jnp.zeros((K,), jnp.float32), state.train_steps, count)
+
+        (flat_b, flat_t, mu2, nu2, losses, train_steps, count2) = (
+            jax.lax.cond(ready, run, skip, None)
+        )
+        state = state._replace(
+            key=key,
+            params_b=unravel(flat_b),
+            target_b=unravel(flat_t),
+            opt_state=jax.tree_util.tree_unflatten(
+                opt_def, [count2, mu2, nu2]
+            ),
+            train_steps=train_steps,
+        )
+        n_ran = jnp.where(ready, K, 0).astype(jnp.int32)
+        mean_loss = jnp.sum(losses) / jnp.maximum(
+            n_ran.astype(jnp.float32), 1.0
+        )
+        return state, mean_loss, n_ran
+
     def _update(self, state: DRQNTrainState):
         """K DRQN updates. Like train/dqn.py, the scan carries RAVELED
         online/target vectors and per-update noise is pre-drawn outside
@@ -737,7 +833,10 @@ class DRQNLearner:
     ) -> Tuple[DRQNTrainState, DRQNMetrics]:
         ep_before = state.episodes
         state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
-        state, mean_loss, n_ran = self._update(state)
+        if self._pallas_update_ok:
+            state, mean_loss, n_ran = self._update_pallas(state)
+        else:
+            state, mean_loss, n_ran = self._update(state)
         metrics = DRQNMetrics(
             episodes=state.episodes - ep_before,
             games_vs_a=stats[0],
