@@ -95,7 +95,16 @@ def measure_rate(
         np.asarray(m.mean_loss)
         return time.perf_counter() - t0
 
-    dt = (run(n2) - run(n1)) / (n2 - n1)
+    t1 = run(n1)
+    t2 = run(n2)
+    dt = (t2 - t1) / (n2 - n1)
+    if dt <= 0.0:
+        # Timing noise (e.g. a loaded CPU box running the test suite) can
+        # make the two-point slope non-positive; the per-call average is
+        # positive by construction and still a sane rate for the
+        # mechanism check. Real benchmark runs use large n1/n2 where the
+        # slope is stable.
+        dt = (t1 + t2) / (n1 + n2)
     return cfg.num_envs * cfg.rollout_length / dt
 
 
