@@ -138,6 +138,13 @@ class DQNConfig:
     # kernel runs under the Pallas interpreter (lowers to plain XLA ops).
     use_pallas_rollout: bool = True
     use_pallas_eval: bool = True
+    # Fused PER+SGD update block (ops/dqn_update.py): in-kernel
+    # prioritized sampling, per-sample chunk DMAs, all K updates in one
+    # program. Engages on TPU when shapes align (batch_size % 128 == 0,
+    # memory_size a multiple of 128^2 and <= 2^20, one rollout chunk
+    # divides memory_size — see supports_pallas_dqn_update); otherwise the
+    # exact-semantics XLA scan path runs.
+    use_pallas_update: bool = True
     pallas_tile_rows: int = 2048    # envs per kernel program (mult. of 128
                                     # on TPU; capped at num_envs)
     num_envs: int = 4096            # lockstep env batch, sharded over 'data'

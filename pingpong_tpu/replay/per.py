@@ -94,9 +94,17 @@ class PERBuffer(NamedTuple):
     sampled batch is ONE row gather instead of five. The TPU core executes
     kernels serially, and the update loop is a serial dependency chain, so
     each eliminated gather is wall-clock. Actions (0..2) and done flags
-    round-trip exactly through f32."""
+    round-trip exactly through f32.
 
-    data: Array       # (N, 2*obs_dim+3) f32 packed transitions
+    BLOCK layout (``per_init(block=True)``, the fused-update-kernel fast
+    path): ``data`` is instead ``(N/128, 2*obs_dim+2, 128)`` — chunk-major
+    blocks whose row r, lane l holds field r of slot ``chunk*128 + l``,
+    fields ``[obs | next_obs | reward | action + 4*done]`` (action and
+    done share one f32 exactly: both are small ints). One sampled chunk is
+    then a single aligned DMA for the Pallas update kernel
+    (ops/dqn_update.py). All public functions accept both layouts."""
+
+    data: Array       # (N, 2d+3) f32 rows, or (N/128, 2d+2, 128) blocks
     prios: Array      # (N,) raw priorities
     p_alpha: Array    # (N,) cached prios**alpha (0 for empty slots)
     chunk_sums: Array # (N/CHUNK,) per-chunk sums of p_alpha
@@ -104,29 +112,44 @@ class PERBuffer(NamedTuple):
     size: Array       # i32 filled count
 
     @property
+    def is_block(self) -> bool:
+        return self.data.ndim == 3
+
+    @property
     def obs_dim(self) -> int:
+        if self.is_block:
+            return (self.data.shape[1] - 2) // 2
         return (self.data.shape[1] - 3) // 2
+
+    def _rows(self) -> Array:
+        """Classic (N, 2d+3) row view [obs|next|act|rew|done] of either
+        layout (test/tool convenience; hot paths never call this)."""
+        if not self.is_block:
+            return self.data
+        nb, r, _ = self.data.shape
+        flat = jnp.transpose(self.data, (0, 2, 1)).reshape(nb * 128, r)
+        return _decode_block_rows(flat, self.obs_dim)
 
     # read-only views for tests/tools; the hot paths use `data` directly
     @property
     def obs(self) -> Array:
-        return self.data[:, : self.obs_dim]
+        return self._rows()[:, : self.obs_dim]
 
     @property
     def next_obs(self) -> Array:
-        return self.data[:, self.obs_dim: 2 * self.obs_dim]
+        return self._rows()[:, self.obs_dim: 2 * self.obs_dim]
 
     @property
     def action(self) -> Array:
-        return self.data[:, 2 * self.obs_dim].astype(jnp.int32)
+        return self._rows()[:, 2 * self.obs_dim].astype(jnp.int32)
 
     @property
     def reward(self) -> Array:
-        return self.data[:, 2 * self.obs_dim + 1]
+        return self._rows()[:, 2 * self.obs_dim + 1]
 
     @property
     def done(self) -> Array:
-        return self.data[:, 2 * self.obs_dim + 2] > 0.5
+        return self._rows()[:, 2 * self.obs_dim + 2] > 0.5
 
 
 class PERSample(NamedTuple):
@@ -136,10 +159,18 @@ class PERSample(NamedTuple):
     weights: Array    # (bs,) importance weights, max-normalized
 
 
-def per_init(capacity: int, obs_dim: int = 7) -> PERBuffer:
+def per_init(capacity: int, obs_dim: int = 7, block: bool = False) -> PERBuffer:
     n_chunks = capacity // _chunk_size(capacity)
+    if block:
+        if capacity % 128 != 0:
+            raise ValueError(
+                f"block layout needs capacity % 128 == 0, got {capacity}"
+            )
+        data = jnp.zeros((capacity // 128, 2 * obs_dim + 2, 128), jnp.float32)
+    else:
+        data = jnp.zeros((capacity, 2 * obs_dim + 3), jnp.float32)
     return PERBuffer(
-        data=jnp.zeros((capacity, 2 * obs_dim + 3), jnp.float32),
+        data=data,
         prios=jnp.zeros((capacity,), jnp.float32),
         p_alpha=jnp.zeros((capacity,), jnp.float32),
         chunk_sums=jnp.zeros((n_chunks,), jnp.float32),
@@ -162,11 +193,31 @@ def pack_transitions(batch: Transition) -> Array:
     )
 
 
-def _write_fields(buf: PERBuffer, put, prio_src, pa_src, data_src):
-    return (
-        put(buf.data, data_src),
-        put(buf.prios, prio_src),
-        put(buf.p_alpha, pa_src),
+def _pack_block_fields(batch: Transition) -> Array:
+    """(M, ...) Transition -> (M, 2*obs_dim+2) block-layout field rows
+    [obs | next_obs | reward | action + 4*done]."""
+    ad = batch.action.astype(jnp.float32) + 4.0 * batch.done.astype(
+        jnp.float32
+    )
+    return jnp.concatenate(
+        [batch.obs, batch.next_obs, batch.reward[:, None], ad[:, None]],
+        axis=1,
+    )
+
+
+def _decode_block_rows(fields: Array, d: int) -> Array:
+    """(M, 2d+2) block field rows -> classic (M, 2d+3) packed rows."""
+    ad = fields[:, 2 * d + 1]
+    done = (ad > 3.5).astype(jnp.float32)
+    act = ad - 4.0 * done
+    return jnp.concatenate(
+        [
+            fields[:, : 2 * d],
+            act[:, None],
+            fields[:, 2 * d: 2 * d + 1],
+            done[:, None],
+        ],
+        axis=1,
     )
 
 
@@ -177,16 +228,24 @@ def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
     cursor always lands on aligned boundaries and the write is ONE
     contiguous ``dynamic_update_slice`` — a large-index scatter on TPU
     serializes and can cost two orders of magnitude more than the slice.
+    Block layout additionally needs M % 128 == 0 on the fast path (whole
+    chunk blocks); otherwise the scatter fallback lane-scatters into the
+    blocks.
     """
     m = batch.action.shape[0]
     cap = buf.prios.shape[0]
+    block = buf.is_block
     # dense max over the raw priorities (reference: prios.max() per push);
     # runs off the update loop's serial chain, once per rollout chunk
     max_p = jnp.where(buf.size > 0, jnp.max(buf.prios), jnp.float32(1.0))
     chunk = _chunk_of(buf)
     prio_src = jnp.full((m,), max_p, jnp.float32)
     pa_src = jnp.full((m,), max_p ** alpha, jnp.float32)
-    data_src = pack_transitions(batch)
+    if block:
+        field_rows = _pack_block_fields(batch)          # (m, R)
+        n_fields = field_rows.shape[1]
+    else:
+        data_src = pack_transitions(batch)
 
     def slice_write(buf):
         start = buf.pos  # multiple of m ⇒ no wrap mid-push
@@ -195,17 +254,35 @@ def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
             idx0 = (start,) + (0,) * (src.ndim - 1)
             return jax.lax.dynamic_update_slice(dst, src, idx0)
 
-        return _write_fields(buf, put, prio_src, pa_src, data_src)
+        if block:
+            blk = jnp.transpose(
+                field_rows.reshape(m // 128, 128, n_fields), (0, 2, 1)
+            )
+            data = jax.lax.dynamic_update_slice(
+                buf.data, blk, (start // 128, 0, 0)
+            )
+        else:
+            data = put(buf.data, data_src)
+        return data, put(buf.prios, prio_src), put(buf.p_alpha, pa_src)
 
     def scatter_write(buf):
         idx = (buf.pos + jnp.arange(m, dtype=jnp.int32)) % cap
+        if block:
+            data = buf.data.at[
+                (idx // 128)[:, None],
+                jnp.arange(n_fields, dtype=jnp.int32)[None, :],
+                (idx % 128)[:, None],
+            ].set(field_rows)
+        else:
+            data = buf.data.at[idx].set(data_src)
+        return (
+            data,
+            buf.prios.at[idx].set(prio_src),
+            buf.p_alpha.at[idx].set(pa_src),
+        )
 
-        def put(dst, src):
-            return dst.at[idx].set(src)
-
-        return _write_fields(buf, put, prio_src, pa_src, data_src)
-
-    if cap % m == 0:
+    aligned_ok = cap % m == 0 and (not block or m % 128 == 0)
+    if aligned_ok:
         # Fast path is valid only when the cursor itself is m-aligned
         # (guaranteed if callers always push m, but guard against mixed
         # push sizes: dynamic_update_slice clamps at the ring end and
@@ -265,8 +342,12 @@ def per_sample(
     n = buf.size.astype(jnp.float32)
     weights = (n * jnp.maximum(probs, 1e-30)) ** (-beta)
     weights = weights / jnp.maximum(jnp.max(weights), 1e-30)
-    rows = buf.data[idx]                 # ONE gather for all five fields
     d = buf.obs_dim
+    if buf.is_block:
+        fields = buf.data[idx // 128, :, idx % 128]     # (bs, 2d+2)
+        rows = _decode_block_rows(fields, d)
+    else:
+        rows = buf.data[idx]             # ONE gather for all five fields
     batch = Transition(
         obs=rows[:, :d],
         action=rows[:, 2 * d].astype(jnp.int32),

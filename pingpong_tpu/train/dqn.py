@@ -159,6 +159,18 @@ class DQNLearner:
         self.data_axis = data_axis
         self.env_params: EnvParams = env_params_from_config(env_cfg)
         self._tx: Optional[optax.GradientTransformation] = None
+        # fused PER+SGD update block: TPU-only (the interpreter would
+        # dominate CPU test runs); exact-semantics fallback is the XLA
+        # scan below. The choice also fixes the replay DATA layout
+        # (chunk blocks vs packed rows), so it is made once, here.
+        from pingpong_tpu.ops.dqn_update import supports_pallas_dqn_update
+
+        self._pallas_update_ok = (
+            cfg.use_pallas_update
+            and supports_pallas_dqn_update(cfg)
+            and jax.default_backend() == "tpu"
+        )
+        self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
 
     def shard_state(self, state: "DQNTrainState") -> "DQNTrainState":
@@ -269,7 +281,8 @@ class DQNLearner:
             params_b=params_b,
             target_b=target_b,
             opt_state=self.tx(params_b).init(flat),
-            buffer=per_init(self.cfg.memory_size),
+            buffer=per_init(self.cfg.memory_size,
+                            block=self._pallas_update_ok),
             env_state=env_state,
             opp_idx=jnp.zeros((self.cfg.num_envs,), jnp.int32),
             ep_return=jnp.zeros((self.cfg.num_envs,), jnp.float32),
@@ -289,7 +302,8 @@ class DQNLearner:
             params_b=params_b,
             target_b=jax.tree_util.tree_map(jnp.copy, params_b),
             opt_state=self.tx(params_b).init(flat),
-            buffer=per_init(self.cfg.memory_size),
+            buffer=per_init(self.cfg.memory_size,
+                            block=self._pallas_update_ok),
             epsilon=jnp.float32(1.0),
             train_steps=jnp.int32(0),
             frame_idx=jnp.int32(0),
@@ -474,11 +488,132 @@ class DQNLearner:
         )
         return state, jnp.sum(stats, axis=0), jnp.sum(ret_sums)
 
+    # -- learner update (fused Pallas fast path) -----------------------------
+    def _update_pallas(self, state: DQNTrainState):
+        """Fused update block: PER sampling + all K SGD steps in one Pallas
+        program (see ops/dqn_update.py). Key discipline and sampling
+        distribution are IDENTICAL to the XLA path below (pre-drawn U[0,1)
+        batches; priorities feed back between updates in-kernel); the
+        optimizer state stays in the optax layout (count, mu, nu on the
+        raveled vector), converted to packed tensors around the call —
+        checkpoints and restore tiers are format-identical across paths.
+        Raw priorities are replayed outside the kernel from the emitted
+        (indices, new_p) stream with a last-writer-wins dedup scatter."""
+        from jax.flatten_util import ravel_pytree
+
+        from pingpong_tpu.ops.dqn_update import (
+            pack_dqn_noise,
+            pack_dqn_params,
+            pallas_dqn_update_block,
+            unpack_dqn_params,
+        )
+
+        cfg = self.cfg
+        bs = cfg.batch_size
+        K = cfg.updates_per_iteration
+        buf = state.buffer
+        cap = buf.prios.shape[0]
+        nc = cap // 128
+        flat_b0, unravel = self._flat_util(state.params_b)
+        flat_t0, _ = self._flat_util(state.target_b)
+
+        key, k_noise, k_u = jax.random.split(state.key, 3)
+        noise_all = jax.vmap(
+            lambda k: qnet_sample_noise(k, state.params_b)
+        )(jax.random.split(k_noise, K))
+        u_all = jax.random.uniform(k_u, (K, bs, 1), jnp.float32)
+
+        # optax.adam state leaves == [count, mu, nu]
+        opt_leaves, opt_def = jax.tree_util.tree_flatten(state.opt_state)
+        count, mu_flat, nu_flat = opt_leaves
+
+        pa2 = buf.p_alpha.reshape(nc, 128)
+        cs2 = buf.chunk_sums.reshape(nc // 128, 128)
+        ready = buf.size >= bs
+
+        def run(_):
+            (pa3, cs3, o2, t2, m2, v2, newp, idx, losses, ts2) = (
+                pallas_dqn_update_block(
+                    state.train_steps, count, state.frame_idx, buf.size,
+                    u_all,
+                    pack_dqn_noise(noise_all),
+                    pa2, cs2,
+                    pack_dqn_params(state.params_b),
+                    pack_dqn_params(state.target_b),
+                    pack_dqn_params(unravel(mu_flat)),
+                    pack_dqn_params(unravel(nu_flat)),
+                    buf.data,
+                    K=K, bs=bs, lr=cfg.lr, gamma=cfg.gamma,
+                    interval=cfg.target_update_interval,
+                    tau=cfg.target_tau, alpha=cfg.per_alpha,
+                    per_eps=cfg.per_eps, beta_start=cfg.per_beta_start,
+                    beta_frames=cfg.per_beta_frames,
+                    heads_only=cfg.train_heads_only,
+                    interpret=self._pallas_interpret,
+                )
+            )
+            # replay the K priority streams into the raw-priority array:
+            # chronological order, last writer wins (stable argsort groups
+            # equal slots with ascending update order; keep each group's
+            # last entry, dump the rest into a scratch slot)
+            idx_flat = idx.reshape(-1)
+            newp_flat = newp.reshape(-1)
+            srt = jnp.argsort(idx_flat, stable=True)
+            si = idx_flat[srt]
+            sv = newp_flat[srt]
+            last = jnp.concatenate(
+                [si[:-1] != si[1:], jnp.ones((1,), bool)]
+            )
+            prios_ext = jnp.concatenate(
+                [buf.prios, jnp.zeros((1,), jnp.float32)]
+            )
+            prios = prios_ext.at[jnp.where(last, si, cap)].set(
+                jnp.where(last, sv, 0.0)
+            )[:cap]
+            tmpl = state.params_b
+            return (
+                pa3.reshape(-1), cs3.reshape(-1), prios,
+                ravel_pytree(unpack_dqn_params(o2, tmpl))[0],
+                ravel_pytree(unpack_dqn_params(t2, tmpl))[0],
+                ravel_pytree(unpack_dqn_params(m2, tmpl))[0],
+                ravel_pytree(unpack_dqn_params(v2, tmpl))[0],
+                losses, ts2, count + K, state.frame_idx + K,
+            )
+
+        def skip(_):
+            return (buf.p_alpha, buf.chunk_sums, buf.prios,
+                    flat_b0, flat_t0, mu_flat, nu_flat,
+                    jnp.zeros((K,), jnp.float32), state.train_steps,
+                    count, state.frame_idx)
+
+        (p_alpha, chunk_sums, prios, flat_b, flat_t, mu2, nu2, losses,
+         train_steps, count2, frame2) = jax.lax.cond(ready, run, skip, None)
+        state = state._replace(
+            key=key,
+            params_b=unravel(flat_b),
+            target_b=unravel(flat_t),
+            opt_state=jax.tree_util.tree_unflatten(
+                opt_def, [count2, mu2, nu2]
+            ),
+            buffer=buf._replace(
+                prios=prios, p_alpha=p_alpha, chunk_sums=chunk_sums
+            ),
+            train_steps=train_steps,
+            frame_idx=frame2,
+        )
+        n_ran = jnp.where(ready, K, 0).astype(jnp.int32)
+        mean_loss = jnp.sum(losses) / jnp.maximum(
+            n_ran.astype(jnp.float32), 1.0
+        )
+        return state, mean_loss, n_ran
+
     # -- learner update ----------------------------------------------------
     def _update(self, state: DQNTrainState):
         """K Double-DQN updates. The scan carries the RAVELED online/target
         parameter vectors (see the optimizer note above): per-leaf pytree
         ops are ~50 serial kernels per update on a latency-bound chain."""
+        if self._pallas_update_ok:
+            return self._update_pallas(state)
         cfg = self.cfg
         flat_b0, unravel = self._flat_util(state.params_b)
         flat_t0, _ = self._flat_util(state.target_b)
