@@ -228,6 +228,16 @@ def test_pack_unpack_roundtrip():
     _assert_trees_close(rt, params, rtol=0, atol=0)
 
 
+def test_shipped_config_engages_kernel():
+    # configs/qnet.yaml must keep shapes inside the fused-kernel gate
+    # (memory_size rounded to 2^20 etc.) — drifting out silently falls
+    # back to the slower XLA scan path on TPU
+    from pingpong_tpu.config.loader import load_config
+
+    cfg = load_config("configs/qnet.yaml")
+    assert supports_pallas_dqn_update(cfg.dqn)
+
+
 def test_supports_gate():
     ok = DQNConfig(batch_size=256, memory_size=1 << 20, num_envs=4096,
                    rollout_length=64)
