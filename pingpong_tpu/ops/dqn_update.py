@@ -196,7 +196,9 @@ def _update_kernel(
                        #                    frame0, size]
     u_ref,             # (1, BS, 1) f32 block — this update's uniforms
     noise_ref,         # UpdQNoise pytree of (1, ...) blocks
-    pa_in,             # (NC, 128) f32 — p_alpha plane
+    pa_in,             # (S, 128, 128) f32 — p_alpha plane [super, chunk
+                       #   lane, slot lane]; 3D so the per-update exact
+                       #   chunk-sum refresh is ONE lane reduce
     cs_in,             # (S, 128) f32 — chunk sums
     online_in,         # UpdQParams
     target_in,
@@ -247,7 +249,6 @@ def _update_kernel(
     b2: float,
     eps: float,
 ):
-    NC = pa_in.shape[0]
     S = cs_in.shape[0]
     B2 = 2 * bs
     k = pl.program_id(0)
@@ -312,7 +313,7 @@ def _update_kernel(
             dat_s.at[pl.ds(i, 1), :, :],
             sem_d,
         ).start()
-        rows_s[pl.ds(i, 1), :] = pa_ref[pl.ds(ci, 1), :]
+        rows_s[pl.ds(i, 1), :] = pa_ref[ci // LANE, pl.ds(ci % LANE, 1), :]
         return 0
 
     jax.lax.fori_loop(0, bs, fetch_body, 0)
@@ -341,15 +342,12 @@ def _update_kernel(
     w_raw = jnp.exp(-beta * jnp.log(n_f * jnp.maximum(probs, 1e-30)))
     w = w_raw / jnp.maximum(jnp.max(w_raw), 1e-30)      # (BS, 1)
 
-    def wait_body(i, _):
-        pltpu.make_async_copy(
-            data_hbm.at[pl.ds(0, 1), :, :],
-            dat_s.at[pl.ds(0, 1), :, :],
-            sem_d,
-        ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, bs, wait_body, 0)
+    # ONE wait for all bs chunk fetches: the DMA semaphore accumulates
+    # each copy's size, and a descriptor spanning bs chunks waits for
+    # exactly the sum of the bs single-chunk copies issued above
+    pltpu.make_async_copy(
+        data_hbm.at[pl.ds(0, bs), :, :], dat_s, sem_d
+    ).wait()
 
     # ---- unpack transitions: lane `off` of each fetched chunk -----------
     d = (R - 2) // 2
@@ -484,25 +482,22 @@ def _update_kernel(
     # newp > 0 strictly (>= per_eps), so log is safe
     newpa_s[...] = jnp.exp(alpha * jnp.log(newp_s[...]))
     ohv_s[...] = oh_off
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
     def rmw_body(i, _):
         ci = idx_smem[i, 0]
         ohrow = ohv_s[pl.ds(i, 1), :]                   # (1, 128)
         npa = newpa_s[pl.ds(i, 1), :]                   # (1, 1)
-        parow = pa_ref[pl.ds(ci, 1), :]
-        parow2 = jnp.where(ohrow > 0.0, npa, parow)
-        pa_ref[pl.ds(ci, 1), :] = parow2
-        # refresh the touched chunk's sum EXACTLY (self-correcting vs the
-        # XLA path's incremental deltas)
-        srow = ci // LANE
-        csrow = cs_ref[pl.ds(srow, 1), :]
-        cs_ref[pl.ds(srow, 1), :] = jnp.where(
-            lane_i == ci % LANE, _rowsum(parow2), csrow
-        )
+        si = ci // LANE
+        li = ci % LANE
+        parow = pa_ref[si, pl.ds(li, 1), :]
+        pa_ref[si, pl.ds(li, 1), :] = jnp.where(ohrow > 0.0, npa, parow)
         return 0
 
     jax.lax.fori_loop(0, bs, rmw_body, 0)
+    # refresh ALL chunk sums EXACTLY with one lane reduce over the fresh
+    # plane — cheaper than per-sample masked row-sum RMWs on cs, and
+    # self-correcting vs the XLA path's incremental deltas
+    cs_ref[...] = jnp.sum(pa_ref[...], axis=2)
     ts_out[0, 0] = ts0 + K
 
 
@@ -559,14 +554,15 @@ def pallas_dqn_update_block(
     interpret: bool = False,
 ):
     """Run K fused PER+SGD updates; returns
-    ``(pa', cs', online', target', m', v', newp (K,bs), idx (K,bs),
-    losses (K,), train_steps')``."""
+    ``(pa' (S,128,128), cs', online', target', m', v', newp (K,bs),
+    idx (K,bs), losses (K,), train_steps')``."""
     NC, _ = pa.shape
     S = cs.shape[0]
     R = data_blocks.shape[1]
     H = online.w2t.shape[0]
     if NC != S * LANE:
         raise ValueError(f"chunk_sums plane {cs.shape} != {NC} chunks")
+    pa = pa.reshape(S, LANE, LANE)   # [super, chunk lane, slot lane]
 
     sc = jnp.stack([
         jnp.asarray(train_steps, jnp.int32),
