@@ -10,23 +10,26 @@ the DRQN sibling (:mod:`pingpong_tpu.ops.drqn_update`), the minibatches
 cannot be pre-drawn outside: PER feeds every update's TD errors back into
 the sampling distribution, so the sampler itself lives in the kernel:
 
-* ``p_alpha`` stays VMEM-resident as a ``(NC, 128)`` plane (4MB at the
-  2^20-slot default) across all K updates; ``chunk_sums`` as ``(S, 128)``;
+* ``p_alpha`` stays VMEM-resident as a ``(S, 128, 128)`` plane
+  ``[super, chunk lane, slot lane]`` (4MB at the 2^20-slot default)
+  across all K updates; ``chunk_sums`` as ``(S, 128)``;
 * the inverse-CDF search is THREE-level so every stage is a dense VPU/MXU
   op: super-sums (one matmul) -> super cumsum (triangular matmul) ->
   broadcast-compare, then the same within the super row and within the
   chunk row — no gather, no searchsorted loop. Same distribution as
   ``replay/per.py::per_sample``; f32 association differs only at
-  cumsative-sum boundaries;
+  cumulative-sum boundaries. The search matmuls run at
+  ``Precision.HIGHEST`` (see ``_mm_hi``);
 * transition DATA stays in HBM in a chunk-block layout ``(NC, R, 128)``
   (R = 2*obs_dim+2 packed fields; see ``replay/per.py`` block mode) and
-  each sampled chunk is fetched with one async copy — 256 single-chunk
-  DMAs per update, issued before the within-chunk offset search so the
-  flight time hides under the sampling tail;
+  each sampled chunk is fetched with one async copy, issued before the
+  within-chunk offset search so the flight time hides under the sampling
+  tail; ONE wait descriptor spanning all bs chunks collects them;
 * priority write-back is a sequential read-modify-write loop over the
   sampled slots: later duplicates win (exactly the reference's
-  last-writer-wins loop), and each touched chunk's sum is refreshed as an
-  EXACT row re-sum — tighter than the XLA path's incremental deltas;
+  last-writer-wins loop); every chunk sum is then refreshed EXACTLY with
+  one full-plane lane reduce — tighter than the XLA path's incremental
+  deltas and off the sequential loop;
 * raw priorities are NOT carried in VMEM (they only feed the max-priority
   stamp at push time): the kernel emits each update's ``(indices, new_p)``
   and the caller replays them into ``prios`` with one dedup-scatter off
