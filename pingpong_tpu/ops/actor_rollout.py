@@ -326,9 +326,14 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
 
     tb = pl.program_id(1)
     tile = pl.program_id(0)
+    # gtile = tile id in the GLOBAL env batch: under shard_map each data
+    # shard runs tiles [tile0, tile0 + n_local); keying the PRNG by the
+    # global id keeps the noise streams identical to the single-device
+    # program (scalars/member ranges stay local to the shard)
+    gtile = scalar_ref[3] + tile
     if use_tpu_prng:
         pltpu.prng_seed(
-            scalar_ref[0], tile * pl.num_programs(1) + tb
+            scalar_ref[0], gtile * pl.num_programs(1) + tb
         )
         uniform = _tpu_uniform
         seed_mix = jnp.uint32(0)
@@ -336,12 +341,12 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
         uniform = _hash_uniform
         seed_mix = (
             scalar_ref[0].astype(jnp.uint32)
-            ^ (tile.astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (gtile.astype(jnp.uint32) * jnp.uint32(747796405))
             ^ (tb.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     n_tiles = pl.num_programs(0)
-    member_range = (scalar_ref[3 + tile], scalar_ref[3 + n_tiles + tile])
+    member_range = (scalar_ref[4 + tile], scalar_ref[4 + n_tiles + tile])
 
     @pl.when(tb == 0)
     def _():
@@ -392,19 +397,20 @@ def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
     stats_ref = refs[i]; i += 1          # (8, E)
 
     tile = pl.program_id(0)
+    gtile = scalar_ref[3] + tile   # global tile id (see grid variant)
     if use_tpu_prng:
-        pltpu.prng_seed(scalar_ref[0], tile)
+        pltpu.prng_seed(scalar_ref[0], gtile)
         uniform = _tpu_uniform
         seed_mix = jnp.uint32(0)
     else:
         uniform = _hash_uniform
         seed_mix = (
             scalar_ref[0].astype(jnp.uint32)
-            ^ (tile.astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (gtile.astype(jnp.uint32) * jnp.uint32(747796405))
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     n_tiles = pl.num_programs(0)
-    member_range = (scalar_ref[3 + tile], scalar_ref[3 + n_tiles + tile])
+    member_range = (scalar_ref[4 + tile], scalar_ref[4 + n_tiles + tile])
     lw = [r[:] for r in learner_refs]
 
     def body(t, carry):
@@ -450,6 +456,10 @@ def pallas_actor_rollout(
     interpret: bool = None,
     emit_transitions: bool = True,
     steps_per_cell: int = 8,    # grid-variant inner unroll
+    tile0: jax.Array | int = 0, # global index of this call's first tile:
+                                # under shard_map each data shard passes
+                                # axis_index * local_tile_count so PRNG
+                                # streams match the single-device program
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, transitions,
     stat_counts, ret_sum, ended). transitions dict arrays are (T, B[, 7]);
@@ -490,7 +500,7 @@ def pallas_actor_rollout(
     )
     scalars = jnp.concatenate([
         jnp.stack([jnp.int32(seed), (epsilon * 1e6).astype(jnp.int32),
-                   jnp.int32(pool_size)]),
+                   jnp.int32(pool_size), jnp.int32(tile0)]),
         tile_lo, tile_hi,
     ]).astype(jnp.int32)
 

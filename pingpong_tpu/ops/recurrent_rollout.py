@@ -328,20 +328,24 @@ def _rnn_kernel_grid(params: EnvParams, cfg, use_tpu_prng: bool,
 
     tb = pl.program_id(1)
     tile = pl.program_id(0)
+    # gtile = tile id in the GLOBAL env batch (shard_map passes tile0 =
+    # axis_index * local_tile_count) — keeps PRNG streams identical to
+    # the single-device program; see ops/actor_rollout.py
+    gtile = scalar_ref[3] + tile
     if use_tpu_prng:
-        pltpu.prng_seed(scalar_ref[0], tile * pl.num_programs(1) + tb)
+        pltpu.prng_seed(scalar_ref[0], gtile * pl.num_programs(1) + tb)
         uniform = _tpu_uniform
         seed_mix = jnp.uint32(0)
     else:
         uniform = _hash_uniform
         seed_mix = (
             scalar_ref[0].astype(jnp.uint32)
-            ^ (tile.astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (gtile.astype(jnp.uint32) * jnp.uint32(747796405))
             ^ (tb.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     n_tiles = pl.num_programs(0)
-    member_range = (scalar_ref[3 + tile], scalar_ref[3 + n_tiles + tile])
+    member_range = (scalar_ref[4 + tile], scalar_ref[4 + n_tiles + tile])
 
     @pl.when(tb == 0)
     def _():
@@ -400,19 +404,20 @@ def _rnn_kernel(params: EnvParams, cfg, use_tpu_prng: bool,
     stats_ref = refs[i]; i += 1          # (8, E)
 
     tile = pl.program_id(0)
+    gtile = scalar_ref[3] + tile   # global tile id (see grid variant)
     if use_tpu_prng:
-        pltpu.prng_seed(scalar_ref[0], tile)
+        pltpu.prng_seed(scalar_ref[0], gtile)
         uniform = _tpu_uniform
         seed_mix = jnp.uint32(0)
     else:
         uniform = _hash_uniform
         seed_mix = (
             scalar_ref[0].astype(jnp.uint32)
-            ^ (tile.astype(jnp.uint32) * jnp.uint32(747796405))
+            ^ (gtile.astype(jnp.uint32) * jnp.uint32(747796405))
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     n_tiles = pl.num_programs(0)
-    member_range = (scalar_ref[3 + tile], scalar_ref[3 + n_tiles + tile])
+    member_range = (scalar_ref[4 + tile], scalar_ref[4 + n_tiles + tile])
     lw = [r[:] for r in learner_refs]
     lsig = [r[:] for r in sigma_refs]
     H = cfg["lstm_hidden_dim"]
@@ -465,6 +470,8 @@ def pallas_recurrent_rollout(
     emit_transitions: bool = True,
     steps_per_cell: int = 8,    # grid-variant inner unroll (the (spc, E)
                                 # transition slabs need spc % 8 == 0)
+    tile0: jax.Array | int = 0, # global index of this call's first tile
+                                # (shard_map: axis_index * local tiles)
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, new_hid,
     transitions, stat_counts, ret_sum, ended). Same contract as
@@ -504,7 +511,7 @@ def pallas_recurrent_rollout(
     )
     scalars = jnp.concatenate([
         jnp.stack([jnp.int32(seed), (epsilon * 1e6).astype(jnp.int32),
-                   jnp.int32(0)]),
+                   jnp.int32(0), jnp.int32(tile0)]),
         tile_lo, tile_hi,
     ]).astype(jnp.int32)
 

@@ -169,6 +169,10 @@ class DQNLearner:
             cfg.use_pallas_update
             and supports_pallas_dqn_update(cfg)
             and jax.default_backend() == "tpu"
+            # multi-chip: the PER plane is sharded over 'data' and the
+            # sampler needs the GLOBAL distribution — the XLA scan path
+            # (GSPMD-partitionable) runs there instead
+            and (mesh is None or mesh.shape[data_axis] == 1)
         )
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
@@ -352,22 +356,70 @@ class DQNLearner:
         env_state = jax.tree_util.tree_map(lambda x: x[perm], state.env_state)
         ep_return = state.ep_return[perm]
 
-        (new_env, new_opp_idx, new_ep_ret, tr, stat_counts,
-         ret_sum, ended) = pallas_actor_rollout(
-            self.env_params,
-            env_state,
-            opp_idx,
-            ep_return,
-            pack_qnet(state.params_b),
-            pack_qnet(opp_stack, mirror=True),
-            seed=seed,
-            epsilon=state.epsilon,
-            pool_size=pool_size,
-            steps=cfg.rollout_length,
-            pool_ratio=cfg.selfplay.opponent_pool_ratio,
-            max_episode_steps=self.env_cfg.max_episode_steps,
-            tile_rows=min(cfg.pallas_tile_rows, cfg.num_envs),
-        )
+        # Multi-chip: a Mosaic kernel is an opaque custom-call GSPMD
+        # cannot partition (on a real pod it would all-gather and run the
+        # FULL batch on every chip), so the kernel is shard_mapped over
+        # the data axis — each shard rolls out its local env block, with
+        # tile0 = global index of its first tile so the in-kernel PRNG
+        # streams are IDENTICAL to the single-device program whenever the
+        # tiling matches. Stats ride a psum; everything else stays
+        # sharded. Falls back to the plain call (correct, unscalable)
+        # when the env batch does not split evenly.
+        ndata = 1 if self.mesh is None else self.mesh.shape[self.data_axis]
+        local_envs = cfg.num_envs // ndata if cfg.num_envs % ndata == 0 else 0
+        tile = min(cfg.pallas_tile_rows, local_envs or cfg.num_envs)
+        lw = pack_qnet(state.params_b)
+        ow = pack_qnet(opp_stack, mirror=True)
+
+        def call_kernel(env_state, opp_idx, ep_return, lw, ow, seed,
+                        epsilon, pool_size, tile0):
+            return pallas_actor_rollout(
+                self.env_params, env_state, opp_idx, ep_return, lw, ow,
+                seed=seed, epsilon=epsilon, pool_size=pool_size,
+                steps=cfg.rollout_length,
+                pool_ratio=cfg.selfplay.opponent_pool_ratio,
+                max_episode_steps=self.env_cfg.max_episode_steps,
+                tile_rows=tile, tile0=tile0,
+            )
+
+        if ndata > 1 and local_envs and local_envs % tile == 0:
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.data_axis
+            n_local_tiles = local_envs // tile
+
+            def sharded(env_state, opp_idx, ep_return, lw, ow, seed,
+                        epsilon, pool_size):
+                tile0 = jax.lax.axis_index(ax) * n_local_tiles
+                (env2, opp2, ret2, tr, stats, rsum, ended) = call_kernel(
+                    env_state, opp_idx, ep_return, lw, ow, seed, epsilon,
+                    pool_size, tile0,
+                )
+                return (env2, opp2, ret2, tr,
+                        jax.lax.psum(stats, ax), jax.lax.psum(rsum, ax),
+                        ended)
+
+            d, r = P(ax), P()
+            tr_spec = {
+                "obs": P(None, ax, None), "action": P(None, ax),
+                "reward": P(None, ax), "next_obs": P(None, ax, None),
+                "done": P(None, ax),
+            }
+            (new_env, new_opp_idx, new_ep_ret, tr, stat_counts,
+             ret_sum, ended) = jax.shard_map(
+                sharded, mesh=self.mesh,
+                in_specs=(d, d, d, r, r, r, r, r),
+                out_specs=(d, d, d, tr_spec, r, r, d),
+                # pallas_call's out_shapes carry no vma info
+                check_vma=False,
+            )(env_state, opp_idx, ep_return, lw, ow, seed,
+              state.epsilon, pool_size)
+        else:
+            (new_env, new_opp_idx, new_ep_ret, tr, stat_counts,
+             ret_sum, ended) = call_kernel(
+                env_state, opp_idx, ep_return, lw, ow, seed,
+                state.epsilon, pool_size, 0,
+            )
         flat = Transition(
             obs=tr["obs"].reshape(-1, tr["obs"].shape[-1]),
             action=tr["action"].reshape(-1),

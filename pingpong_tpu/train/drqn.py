@@ -340,22 +340,65 @@ class DRQNLearner:
             [state.hid_b.h[0].T, state.hid_b.c[0].T, h_opp, c_opp], axis=0
         )[:, perm]
 
-        (new_env, new_opp_idx, new_ep_ret, hid_out, tr, stat_counts,
-         ret_sum, ended) = pallas_recurrent_rollout(
-            self.env_params,
-            env_state,
-            opp_idx[perm],
-            state.ep_return[perm],
-            hid,
-            pack_qnet_rnn(state.params_b),
-            pack_rnn_sigma(state.params_b),
-            pack_qnet_rnn(opp_stack, mirror=True),
-            seed=seed,
-            epsilon=state.epsilon,
-            steps=cfg.rollout_length,
-            max_episode_steps=cfg.max_episode_steps,
-            tile_rows=min(cfg.pallas_tile_rows, cfg.num_envs),
-        )
+        # shard_map over the data axis on a >1-device mesh — a Mosaic
+        # kernel is an opaque custom-call GSPMD cannot partition; tile0
+        # keys the in-kernel PRNG by GLOBAL tile id so numerics match the
+        # single-device program whenever the tiling matches (see
+        # train/dqn.py::_rollout_pallas for the full rationale)
+        ndata = 1 if self.mesh is None else self.mesh.shape[self.data_axis]
+        local_envs = cfg.num_envs // ndata if cfg.num_envs % ndata == 0 else 0
+        tile = min(cfg.pallas_tile_rows, local_envs or cfg.num_envs)
+        lw = pack_qnet_rnn(state.params_b)
+        lsig = pack_rnn_sigma(state.params_b)
+        ow = pack_qnet_rnn(opp_stack, mirror=True)
+
+        def call_kernel(env_state, opp_s, ret_s, hid, lw, lsig, ow, seed,
+                        epsilon, tile0):
+            return pallas_recurrent_rollout(
+                self.env_params, env_state, opp_s, ret_s, hid,
+                lw, lsig, ow, seed=seed, epsilon=epsilon,
+                steps=cfg.rollout_length,
+                max_episode_steps=cfg.max_episode_steps,
+                tile_rows=tile, tile0=tile0,
+            )
+
+        if ndata > 1 and local_envs and local_envs % tile == 0:
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.data_axis
+            n_local_tiles = local_envs // tile
+
+            def sharded(env_state, opp_s, ret_s, hid, lw, lsig, ow, seed,
+                        epsilon):
+                tile0 = jax.lax.axis_index(ax) * n_local_tiles
+                (env2, opp2, ret2, hid2, tr, stats, rsum, ended) = (
+                    call_kernel(env_state, opp_s, ret_s, hid, lw, lsig,
+                                ow, seed, epsilon, tile0)
+                )
+                return (env2, opp2, ret2, hid2, tr,
+                        jax.lax.psum(stats, ax), jax.lax.psum(rsum, ax),
+                        ended)
+
+            d, r = P(ax), P()
+            tr_spec = {
+                "obs": P(None, ax, None), "action": P(None, ax),
+                "reward": P(None, ax), "next_obs": P(None, ax, None),
+                "done": P(None, ax),
+            }
+            (new_env, new_opp_idx, new_ep_ret, hid_out, tr, stat_counts,
+             ret_sum, ended) = jax.shard_map(
+                sharded, mesh=self.mesh,
+                in_specs=(d, d, d, P(None, ax), r, r, r, r, r),
+                out_specs=(d, d, d, P(None, ax), tr_spec, r, r, d),
+                check_vma=False,   # pallas out_shapes carry no vma info
+            )(env_state, opp_idx[perm], state.ep_return[perm], hid,
+              lw, lsig, ow, seed, state.epsilon)
+        else:
+            (new_env, new_opp_idx, new_ep_ret, hid_out, tr, stat_counts,
+             ret_sum, ended) = call_kernel(
+                env_state, opp_idx[perm], state.ep_return[perm], hid,
+                lw, lsig, ow, seed, state.epsilon, 0,
+            )
 
         # restore canonical env order everywhere (incl. transitions: the
         # sequence ring is per-env)

@@ -34,3 +34,38 @@ def test_sharded_drqn_iteration():
     assert int(m.env_steps) == 16 * 16
     assert np.isfinite(float(m.mean_loss))
     assert int(state.buffer.ep_count) >= 0
+
+
+def test_sharded_drqn_matches_unsharded_numerics():
+    cfg = DRQNConfig(
+        feature_dim=32, lstm_hidden_dim=16, head_hidden_dim=16,
+        trace_length=4, num_envs=16, rollout_length=16,
+        updates_per_iteration=2, batch_size=8,
+        min_episodes_for_training_start=1, ring_len=256, pool_max=2,
+        target_update_interval=8, max_episode_steps=100,
+        # shard_mapped Pallas rollout: PRNG keyed by GLOBAL tile id —
+        # numerics match single-device exactly when the tiling matches
+        pallas_tile_rows=2,
+    )
+    params0 = None
+
+    def run(mesh):
+        learner = DRQNLearner(ENV, cfg, mesh=mesh)
+        nonlocal params0
+        if params0 is None:
+            params0 = learner.init_params(jax.random.PRNGKey(7))
+        state = learner.init_state(jax.random.PRNGKey(0), params0)
+        if mesh is not None:
+            state = learner.shard_state(state)
+        opp, n = stack_rnn_opponents(params0, [])
+        for _ in range(2):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        return jax.device_get(state.params_b), jax.device_get(m)
+
+    p_single, m_single = run(None)
+    p_shard, m_shard = run(create_mesh(MeshConfig()))
+    assert int(m_single.episodes) == int(m_shard.episodes)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_shard)
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

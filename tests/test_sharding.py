@@ -70,6 +70,11 @@ def test_sharded_matches_unsharded_numerics():
         memory_size=1024,
         pool_max=2,
         target_update_interval=8,
+        # the Pallas rollout is shard_mapped under a >1-device mesh with
+        # per-tile PRNG keyed by GLOBAL tile id; numerics match the
+        # single-device program exactly when the tiling matches, so pin
+        # the tile to the per-device env count (16 envs / 8 devices)
+        pallas_tile_rows=2,
     )
     params_a = qnet_init(jax.random.PRNGKey(1))
     opp, n = stack_opponents(params_a, [], cfg.pool_max)
