@@ -233,6 +233,13 @@ class DRQNConfig:
     # ring_len columns (reference stores ragged episodes in host RAM);
     # capacity in transitions = num_envs * ring_len.
     ring_len: int = 4096
+    # Parity knob: sample traces episode-uniform-then-offset-uniform as
+    # the reference does (train_rnn_iterative.py:129-144, over-weighting
+    # short episodes) instead of the default window-uniform rule. Needs
+    # an episode directory in the buffer (episode_dir_capacity slots; a
+    # too-small directory only raises sample rejection, never corrupts).
+    episode_uniform_sampling: bool = False
+    episode_dir_capacity: int = 65536
 
 
 @dataclass

@@ -20,10 +20,18 @@ TPU-native design — a **per-env time ring** instead of episode slots:
   masks them). Once the ring has data, the invalid fraction is the small
   episode-boundary band, ~(T-1)/mean_episode_length.
 
-Distribution note (documented deviation): the reference samples
-episode-uniform then offset-uniform, which over-weights windows from short
-episodes; this buffer samples (approximately) window-uniform. The
-admission rule (len >= trace_length) is preserved exactly — shorter
+Distribution note: the reference samples episode-uniform then
+offset-uniform (``train_rnn_iterative.py:129-144``: ``np.random.choice``
+over stored episodes with replacement, then
+``randint(0, len - trace_length + 1)``), which over-weights windows from
+short episodes; this buffer samples (approximately) window-uniform by
+default. The reference rule is available as a parity knob: build the
+buffer with ``dir_cap > 0`` (an **episode directory** — a small ring of
+``(env, start_cursor, len, ep_id)`` records appended when an episode is
+admitted) and sample with ``episode_uniform=True``; staleness (directory
+records whose ring columns have been overwritten) is rejected by the same
+id checks that guard window-uniform candidates. The admission rule
+(len >= trace_length) is preserved exactly in both modes — shorter
 episodes produce no valid window. Unlike the reference, an episode cut by
 the step cap is treated as a proper boundary; the reference leaves the
 partial trajectory in its staging list and silently concatenates it with
@@ -52,6 +60,13 @@ class SeqReplay(NamedTuple):
     ep_count: Array   # i32 completed episodes admitted (len >= trace)
     cur_ep_id: Array  # (B,) i32 current episode id per env
     cur_ep_len: Array # (B,) i32 running length of the in-flight episode
+    # episode directory (parity knob; all (D,) — a single dummy slot,
+    # D=1, when disabled):
+    dir_env: Array    # (D,) i32 env row of the admitted episode
+    dir_start: Array  # (D,) i32 ABSOLUTE cursor of the episode's first step
+    dir_len: Array    # (D,) i32 episode length (>= trace_length)
+    dir_id: Array     # (D,) i32 the episode's ep_id (staleness check)
+    dir_cursor: Array # i32 total episodes ever appended to the directory
 
 
 class SeqSample(NamedTuple):
@@ -63,7 +78,15 @@ class SeqSample(NamedTuple):
     valid: Array      # (N,) bool — invalid samples must be masked in loss
 
 
-def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7) -> SeqReplay:
+def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7,
+             dir_cap: int = 0) -> SeqReplay:
+    """``dir_cap >= 2`` enables the episode directory (needed only for
+    ``seq_sample(..., episode_uniform=True)``; sized to hold at least the
+    episodes live in the ring — undersizing just raises the stale-record
+    rejection rate, it cannot corrupt samples). Disabled buffers carry a
+    single dummy slot (zero-size leaves cannot round-trip through Orbax
+    checkpointing)."""
+    dir_n = max(dir_cap, 1)
     return SeqReplay(
         obs=jnp.zeros((num_envs, ring_len, obs_dim), jnp.float32),
         action=jnp.zeros((num_envs, ring_len), jnp.int32),
@@ -75,6 +98,29 @@ def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7) -> SeqReplay:
         ep_count=jnp.int32(0),
         cur_ep_id=jnp.zeros((num_envs,), jnp.int32),
         cur_ep_len=jnp.zeros((num_envs,), jnp.int32),
+        dir_env=jnp.zeros((dir_n,), jnp.int32),
+        dir_start=jnp.zeros((dir_n,), jnp.int32),
+        dir_len=jnp.zeros((dir_n,), jnp.int32),
+        dir_id=jnp.full((dir_n,), -1, jnp.int32),
+        dir_cursor=jnp.int32(0),
+    )
+
+
+def _dir_append(buf: SeqReplay, admitted: Array, env: Array, start: Array,
+                length: Array, ep_id: Array):
+    """Append admitted episodes (flat masked arrays) to the directory ring.
+    Returns the updated (dir_env, dir_start, dir_len, dir_id, dir_cursor).
+    Non-admitted entries scatter out of bounds and are dropped."""
+    cap = buf.dir_env.shape[0]
+    adm_i = admitted.astype(jnp.int32)
+    rank = jnp.cumsum(adm_i) - adm_i                      # exclusive rank
+    slot = jnp.where(admitted, (buf.dir_cursor + rank) % cap, cap)
+    return (
+        buf.dir_env.at[slot].set(env, mode="drop"),
+        buf.dir_start.at[slot].set(start, mode="drop"),
+        buf.dir_len.at[slot].set(length, mode="drop"),
+        buf.dir_id.at[slot].set(ep_id, mode="drop"),
+        buf.dir_cursor + jnp.sum(adm_i),
     )
 
 
@@ -92,6 +138,16 @@ def seq_push_step(
     col = buf.cursor % ring
     new_len = buf.cur_ep_len + 1
     admitted = done & (new_len >= trace_length)
+    B = done.shape[0]
+    dirs = (buf.dir_env, buf.dir_start, buf.dir_len, buf.dir_id,
+            buf.dir_cursor)
+    if buf.dir_env.shape[0] > 1:
+        # an episode ending at absolute cursor c with length L started at
+        # c - L + 1 (this push writes at absolute position buf.cursor)
+        dirs = _dir_append(
+            buf, admitted, jnp.arange(B, dtype=jnp.int32),
+            buf.cursor - new_len + 1, new_len, buf.cur_ep_id,
+        )
     return SeqReplay(
         obs=buf.obs.at[:, col].set(obs),
         action=buf.action.at[:, col].set(action),
@@ -103,6 +159,8 @@ def seq_push_step(
         ep_count=buf.ep_count + jnp.sum(admitted.astype(jnp.int32)),
         cur_ep_id=buf.cur_ep_id + done.astype(jnp.int32),
         cur_ep_len=jnp.where(done, 0, new_len),
+        dir_env=dirs[0], dir_start=dirs[1], dir_len=dirs[2],
+        dir_id=dirs[3], dir_cursor=dirs[4],
     )
 
 
@@ -156,6 +214,22 @@ def seq_push_rollout(
     )
     new_cur_id = buf.cur_ep_id + jnp.sum(done_bt, axis=1)
 
+    dirs = (buf.dir_env, buf.dir_start, buf.dir_len, buf.dir_id,
+            buf.dir_cursor)
+    if buf.dir_env.shape[0] > 1:
+        # episode ending at absolute position cursor+t with length L
+        # started at cursor + t - L + 1; appended TIME-major so the
+        # directory order is identical to T seq_push_step calls
+        start_abs = buf.cursor + idx - length_t + 1        # (B, T)
+        env_flat = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, T)
+        ).T.reshape(-1)
+        dirs = _dir_append(
+            buf, admitted.T.reshape(-1), env_flat,
+            start_abs.T.reshape(-1), length_t.T.reshape(-1),
+            ep_ids.T.reshape(-1),
+        )
+
     aligned = ring % T == 0  # static: cursor % ring is then a multiple of T
     col0 = buf.cursor % ring
 
@@ -185,6 +259,8 @@ def seq_push_rollout(
         ep_count=buf.ep_count + n_admitted,
         cur_ep_id=new_cur_id,
         cur_ep_len=new_cur_len,
+        dir_env=dirs[0], dir_start=dirs[1], dir_len=dirs[2],
+        dir_id=dirs[3], dir_cursor=dirs[4],
     )
 
 
@@ -218,20 +294,52 @@ def seq_sample(
     batch_size: int,
     trace_length: int,
     rejection_rounds: int = 4,
+    episode_uniform: bool = False,
 ) -> SeqSample:
     """Draw ``batch_size`` trace windows; a few rejection rounds re-draw
-    invalid candidates, leftovers are flagged ``valid=False``."""
+    invalid candidates, leftovers are flagged ``valid=False``.
+
+    ``episode_uniform=True`` reproduces the reference's two-stage rule
+    (``train_rnn_iterative.py:129-144``): a stored episode uniformly with
+    replacement, then a uniform window offset within it — requires the
+    buffer to carry an episode directory (``seq_init(dir_cap > 0)``).
+    Stale directory records (episodes the ring has since overwritten) and
+    windows whose columns would wrap the row end are rejected and redrawn.
+    """
     num_envs, ring = buf.ep_id.shape
     t_max = ring - trace_length + 1
+    if episode_uniform and buf.dir_env.shape[0] <= 1:
+        raise ValueError("episode_uniform sampling needs seq_init(dir_cap>=2)")
 
     env = jnp.zeros((batch_size,), jnp.int32)
     t0 = jnp.zeros((batch_size,), jnp.int32)
     valid = jnp.zeros((batch_size,), jnp.bool_)
     for r in range(rejection_rounds):
-        key, k_env, k_t = jax.random.split(key, 3)
-        cand_env = jax.random.randint(k_env, (batch_size,), 0, num_envs)
-        cand_t0 = jax.random.randint(k_t, (batch_size,), 0, t_max)
-        cand_ok = _window_valid(buf, cand_env, cand_t0, trace_length)
+        if episode_uniform:
+            cap = buf.dir_env.shape[0]
+            n_dir = jnp.minimum(buf.dir_cursor, cap)
+            key, k_slot, k_off = jax.random.split(key, 3)
+            slot = jax.random.randint(
+                k_slot, (batch_size,), 0, jnp.maximum(n_dir, 1)
+            )
+            cand_env = buf.dir_env[slot]
+            length = buf.dir_len[slot]
+            off = jax.random.randint(
+                k_off, (batch_size,), 0,
+                jnp.maximum(length - trace_length + 1, 1),
+            )
+            cand_t0 = (buf.dir_start[slot] + off) % ring
+            no_wrap = cand_t0 + trace_length <= ring
+            cand_ok = (
+                (n_dir > 0) & no_wrap
+                & _window_valid(buf, cand_env, cand_t0, trace_length)
+                & (buf.ep_id[cand_env, cand_t0] == buf.dir_id[slot])
+            )
+        else:
+            key, k_env, k_t = jax.random.split(key, 3)
+            cand_env = jax.random.randint(k_env, (batch_size,), 0, num_envs)
+            cand_t0 = jax.random.randint(k_t, (batch_size,), 0, t_max)
+            cand_ok = _window_valid(buf, cand_env, cand_t0, trace_length)
         take = (~valid) & cand_ok
         env = jnp.where(take, cand_env, env)
         t0 = jnp.where(take, cand_t0, t0)

@@ -19,9 +19,14 @@ TPU-native replacement for the reference RNN trainer's inner loops
    RNN trainer does not freeze features, :717), periodic hard target sync
    (:529-531).
 
-Training is gated until the buffer holds
-``batch_size * min_episodes_for_training_start`` completed episodes
-(ref :776-777). Opponents are recurrent (the reference's runtime RNN pool;
+Training is gated on ``ep_count > batch_size *
+min_episodes_for_training_start`` — STRICTLY greater, matching the
+reference's binding outer gate (``train_rnn_iterative.py:776``:
+``len(memory) > batch_size * get_cfg('min_episodes_for_training_start')``
+where ``len(memory)`` counts completed admitted episodes). The reference
+has a second, inner gate (``:405-407``, ``>=`` with a separate
+``_factor`` key defaulting to 1) that is never binding once the outer
+gate passes; it is intentionally not reproduced. Opponents are recurrent (the reference's runtime RNN pool;
 its QNet-pool path is commented out, :594-607): all pool slots advance
 their hidden on every env so the per-episode-bound member's stream is
 always consistent; non-bound streams are dead state that resets at the
@@ -144,6 +149,12 @@ class DRQNLearner:
             cfg.use_pallas_update
             and supports_pallas_update(cfg)
             and jax.default_backend() == "tpu"
+            # multi-chip: the sequence ring is sharded over 'data' and
+            # seq_sample draws from the GLOBAL ring — feeding an opaque
+            # Mosaic custom call would force XLA to all-gather the whole
+            # buffer every update block; the GSPMD-partitionable XLA scan
+            # path runs there instead (same rule as train/dqn.py)
+            and (mesh is None or mesh.shape[data_axis] == 1)
         )
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
 
@@ -252,7 +263,11 @@ class DRQNLearner:
             params_b=params_b,
             target_b=jax.tree_util.tree_map(jnp.copy, params_b),
             opt_state=self.tx().init(self._flat_util(params_b)[0]),
-            buffer=seq_init(c.num_envs, c.ring_len),
+            buffer=seq_init(
+                c.num_envs, c.ring_len,
+                dir_cap=(c.episode_dir_capacity
+                         if c.episode_uniform_sampling else 0),
+            ),
             env_state=env_state,
             hid_b=self._zero_hidden(c.num_envs),
             hid_opp=self._zero_hidden(c.num_envs),
@@ -655,7 +670,8 @@ class DRQNLearner:
         )(jax.random.split(k_noise, K))
         key, k_samples = jax.random.split(key)
         sample_flat = seq_sample(
-            state.buffer, k_samples, K * bs, cfg.trace_length
+            state.buffer, k_samples, K * bs, cfg.trace_length,
+            episode_uniform=cfg.episode_uniform_sampling,
         )
         sample = jax.tree_util.tree_map(
             lambda x: x.reshape((K, bs) + x.shape[1:]), sample_flat
@@ -745,7 +761,8 @@ class DRQNLearner:
         # block — so all K minibatches are drawn in ONE batched sample
         # outside the scan, keeping the serialized chain pure compute.
         sample_flat = seq_sample(
-            state.buffer, k_samples, K * bs, cfg.trace_length
+            state.buffer, k_samples, K * bs, cfg.trace_length,
+            episode_uniform=cfg.episode_uniform_sampling,
         )
         sample_all = jax.tree_util.tree_map(
             lambda x: x.reshape((K, bs) + x.shape[1:]), sample_flat

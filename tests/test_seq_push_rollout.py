@@ -76,3 +76,21 @@ def test_bulk_admission_counting():
     assert int(buf.ep_count) == 2
     np.testing.assert_array_equal(np.asarray(buf.cur_ep_id), [2, 1])
     np.testing.assert_array_equal(np.asarray(buf.cur_ep_len), [6, 0])
+
+
+def test_bulk_equals_stepwise_with_episode_directory():
+    """The directory (episode-uniform parity knob) must be byte-identical
+    between bulk and per-step pushes, including append order and wrap of
+    the directory ring itself."""
+    T, B, R = 13, 4, 32
+    buf_a = seq_init(B, R, dir_cap=8)
+    buf_b = seq_init(B, R, dir_cap=8)
+    for chunk in range(3):
+        obs, act, rew, nobs, done = random_chunk(T, B, 20 + chunk)
+        buf_a = seq_push_rollout(buf_a, obs, act, rew, nobs, done, TRACE)
+        for t in range(T):
+            buf_b = seq_push_step(
+                buf_b, obs[t], act[t], rew[t], nobs[t], done[t], TRACE
+            )
+        assert_buf_equal(buf_a, buf_b)
+    assert int(buf_a.dir_cursor) > 8  # directory ring wrapped at least once

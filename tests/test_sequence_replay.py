@@ -127,3 +127,65 @@ def test_sample_determinism():
     s2 = seq_sample(buf, jax.random.PRNGKey(3), 32, TRACE)
     np.testing.assert_array_equal(np.asarray(s1.obs), np.asarray(s2.obs))
     np.testing.assert_array_equal(np.asarray(s1.valid), np.asarray(s2.valid))
+
+
+def test_episode_uniform_matches_reference_distribution():
+    """The parity knob must reproduce the reference's two-stage rule
+    (train_rnn_iterative.py:129-144): episodes uniform with replacement,
+    then offset uniform. Episode A (len 4 = TRACE, 1 window) and episode
+    B (len 13, 10 windows) must each be sampled ~50%; window-uniform
+    would put A at ~1/11."""
+    buf = seq_init(2, 64, dir_cap=16)
+    buf, _ = push_pattern(buf, [4, 13])
+    assert int(buf.ep_count) == 2
+    assert int(buf.dir_cursor) == 2
+
+    s = seq_sample(buf, jax.random.PRNGKey(0), 4096, TRACE,
+                   rejection_rounds=8, episode_uniform=True)
+    valid = np.asarray(s.valid)
+    assert valid.mean() > 0.95  # directory candidates are almost never bad
+    step0 = np.asarray(s.obs)[valid, 0, 1]  # first step index of window
+    frac_a = (step0 < 4).mean()             # episode A covers steps 0..3
+    assert 0.45 < frac_a < 0.55, frac_a
+
+    # contrast: window-uniform keeps the documented default behavior
+    sw = seq_sample(buf, jax.random.PRNGKey(0), 4096, TRACE,
+                    rejection_rounds=8, episode_uniform=False)
+    vw = np.asarray(sw.valid)
+    frac_a_w = (np.asarray(sw.obs)[vw, 0, 1] < 4).mean()
+    assert frac_a_w < 0.2, frac_a_w
+
+    # offsets within episode B must be uniform over its 10 windows
+    off_b = step0[step0 >= 4] - 4.0
+    counts = np.bincount(off_b.astype(int), minlength=10)
+    assert counts.min() > 0.6 * counts.mean()
+
+
+def test_episode_uniform_rejects_stale_directory_records():
+    """After the ring overwrites an episode, its directory record must be
+    rejected (id mismatch), and every valid sample must still be a real
+    single-episode window."""
+    buf = seq_init(2, 16, dir_cap=8)
+    # 4 episodes of len 6 = 24 steps into a 16-ring: the first episode's
+    # columns are fully overwritten, its directory record is stale
+    buf, _ = push_pattern(buf, [6, 6, 6, 6])
+    assert int(buf.dir_cursor) == 4
+    s = seq_sample(buf, jax.random.PRNGKey(1), 1024, TRACE,
+                   rejection_rounds=8, episode_uniform=True)
+    valid = np.asarray(s.valid)
+    assert valid.mean() > 0.3
+    obs = np.asarray(s.obs)
+    done = np.asarray(s.done)
+    for i in np.nonzero(valid)[0]:
+        assert not done[i, :-1].any()                   # no mid-window end
+        np.testing.assert_array_equal(np.diff(obs[i, :, 1]), 1)
+
+
+def test_episode_uniform_requires_directory():
+    buf = seq_init(2, 64)  # dir_cap=0
+    try:
+        seq_sample(buf, jax.random.PRNGKey(0), 8, TRACE,
+                   episode_uniform=True)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError without a directory")

@@ -130,3 +130,53 @@ def test_generation_rollover_and_reset():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(state.buffer.ep_count) == buf_count
     assert float(state.epsilon) == cfg.initial_epsilon_per_generation
+
+
+def test_training_start_gate_boundary():
+    """Pin the gate at ep_count > batch * min_episodes_for_training_start
+    — STRICTLY greater, the reference's binding outer gate
+    (train_rnn_iterative.py:776). At exactly the threshold no update may
+    run; one episode past it, all K must."""
+    cfg = small_cfg(batch_size=4, min_episodes_for_training_start=2)
+    gate = cfg.batch_size * cfg.min_episodes_for_training_start  # 8
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    opp, n = stack_rnn_opponents(params_a, [])
+    for _ in range(4):  # fill the ring with real data well past the gate
+        state, _ = learner.train_iteration(state, opp, jnp.int32(n))
+    assert int(state.buffer.ep_count) > gate
+
+    at_gate = state._replace(
+        buffer=state.buffer._replace(ep_count=jnp.int32(gate))
+    )
+    s2, _, n_ran = learner._update(at_gate)
+    assert int(n_ran) == 0
+    assert int(s2.train_steps) == int(state.train_steps)
+    np.testing.assert_array_equal(
+        np.asarray(jax.flatten_util.ravel_pytree(s2.params_b)[0]),
+        np.asarray(jax.flatten_util.ravel_pytree(at_gate.params_b)[0]),
+    )
+
+    past_gate = state._replace(
+        buffer=state.buffer._replace(ep_count=jnp.int32(gate + 1))
+    )
+    s3, _, n_ran3 = learner._update(past_gate)
+    assert int(n_ran3) == cfg.updates_per_iteration
+    assert int(s3.train_steps) == int(state.train_steps) + int(n_ran3)
+
+
+def test_episode_uniform_sampling_end_to_end():
+    cfg = small_cfg(episode_uniform_sampling=True, episode_dir_capacity=64)
+    learner = DRQNLearner(ENV, cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    assert state.buffer.dir_env.shape == (64,)
+    params_a = learner.init_params(jax.random.PRNGKey(1))
+    opp, n = stack_rnn_opponents(params_a, [])
+    total = 0
+    for _ in range(6):
+        state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        total += int(m.updates_run)
+    assert total > 0
+    assert int(state.buffer.dir_cursor) > 0
+    assert np.isfinite(float(m.mean_loss))
