@@ -216,6 +216,9 @@ class DRQNConfig:
     # is the reference's shipped one (lstm_layers=1, shared head, dims
     # <= 128); other architectures use the XLA scan path regardless.
     use_pallas_rollout: bool = True
+    # Fused no-transitions eval streaming through the recurrent kernel
+    # (promotion gates; single-seat and side-balanced), as in DQNConfig.
+    use_pallas_eval: bool = True
     # Fused Pallas update block (ops/drqn_update.py): all K SGD steps in
     # one program, params + Adam moments VMEM-resident, hand-derived LSTM
     # BPTT — 1.6ms vs 6.2ms for the XLA update scan on v5e. Applies on
@@ -225,6 +228,8 @@ class DRQNConfig:
     use_pallas_update: bool = True
     pallas_tile_rows: int = 512     # envs per kernel program (mult. of 128
                                     # on TPU; capped at num_envs)
+    pallas_steps_per_cell: int = 8  # rollout grid-kernel inner unroll
+                                    # (multiple of 8; divides rollout_length)
     num_envs: int = 1024
     rollout_length: int = 128
     updates_per_iteration: int = 32

@@ -202,10 +202,11 @@ def _env_transition(params, cfg, uniform, seed_mix, rows, ctr,
     d_f = done.astype(jnp.float32)
     w_f = win.astype(jnp.float32)
     p_f = vs_pool.astype(jnp.float32)
+    draw_f = (d_f * (ep_ret == 0.0)).astype(jnp.float32)  # step-cap ties
     srow = jnp.concatenate(
         [d_f * (1 - p_f), w_f * (1 - p_f), d_f * p_f, w_f * p_f,
-         jnp.where(done, ep_ret, 0.0), d_f,
-         jnp.zeros((2, E), jnp.float32)], axis=0,
+         jnp.where(done, ep_ret, 0.0), d_f, draw_f,
+         jnp.zeros((1, E), jnp.float32)], axis=0,
     )                                                     # (8, E)
 
     # ---- auto-reset; binding is FIXED within the chunk (re-bind happens
@@ -615,7 +616,10 @@ def pallas_actor_rollout(
     else:
         transitions = None
     stat_totals = jnp.sum(stats, axis=1)                   # (8,)
-    stat_counts = stat_totals[:4].astype(jnp.int32)
+    # [games_vs_a, wins_vs_a, games_vs_pool, wins_vs_pool, draws]
+    stat_counts = jnp.concatenate(
+        [stat_totals[:4], stat_totals[6:7]]
+    ).astype(jnp.int32)
     ret_sum = stat_totals[4]
     ended = stats[5] > 0.0                                 # (B,) bool
     return (new_state, I_out[IOPP], F_out[FRET], transitions,

@@ -624,7 +624,10 @@ def pallas_recurrent_rollout(
     else:
         transitions = None
     stat_totals = jnp.sum(stats, axis=1)                   # (8,)
-    stat_counts = stat_totals[:4].astype(jnp.int32)
+    # [games_vs_a, wins_vs_a, games_vs_pool, wins_vs_pool, draws]
+    stat_counts = jnp.concatenate(
+        [stat_totals[:4], stat_totals[6:7]]
+    ).astype(jnp.int32)
     ret_sum = stat_totals[4]
     ended = stats[5] > 0.0                                 # (B,) bool
     return (new_state, I_out[IOPP], F_out[FRET], hid_out, transitions,

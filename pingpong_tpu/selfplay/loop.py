@@ -199,9 +199,43 @@ class QNetSelfPlay:
         """B (current learner) vs a uniform-per-game set of opponents."""
         if not params_a_list:
             return 1.0
+        if self.cfg.selfplay.swap_sides_eval and self.cfg.use_pallas_eval:
+            # side-balanced gate on the FUSED eval stream: each seating is
+            # a separate kernel packing (seat 2 puts the frozen opponent
+            # in the learner slot and B mirror-folded on top; B's wins
+            # there = episodes - opponent wins - draws). Pool quota splits
+            # evenly across members, as the single-seat fused path does.
+            from pingpong_tpu.evaluation.fast_eval import (
+                pallas_win_rate_balanced,
+            )
+
+            per = max(2, n_games // len(params_a_list))
+            wins_sum = 0.0
+            w_b_sum = 0.0
+            w_a_sum = 0.0
+            total = 0
+            for opp in params_a_list:
+                self.key, k = jax.random.split(self.key)
+                wr, as_b, as_a, eps = pallas_win_rate_balanced(
+                    self.env_params, opp, self.state.params_b, k,
+                    min_episodes=per,
+                    n_envs=min(self.cfg.num_envs, 8192),
+                    tile_rows=min(self.cfg.pallas_tile_rows,
+                                  self.cfg.num_envs, 8192),
+                )
+                wins_sum += wr * eps
+                w_b_sum += as_b * eps
+                w_a_sum += as_a * eps
+                total += eps
+            self.logger.log({
+                "event": "eval_seats",
+                "win_as_b": w_b_sum / max(total, 1),
+                "win_as_a": w_a_sum / max(total, 1),
+            })
+            return wins_sum / max(total, 1)
         if self.cfg.selfplay.swap_sides_eval:
-            # side-balanced gate: N/2 games per seating (the pallas eval
-            # path stays single-seat; the match runner handles both)
+            # side-balanced gate via the batched while-loop match runner
+            # (use_pallas_eval=false)
             from pingpong_tpu.evaluation.match import eval_win_rate_balanced
 
             stack_opp = jax.tree_util.tree_map(

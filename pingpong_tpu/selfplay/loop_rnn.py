@@ -176,6 +176,53 @@ class DRQNSelfPlay:
         aggregates (ref :815-822); single opponent gets all games."""
         if not opponents:
             return 1.0
+        if self.cfg.use_pallas_eval and self.learner._pallas_ok:
+            # fused recurrent eval streaming (kernel-architecture nets
+            # only; others keep the while-loop match runner). Pool quota
+            # splits evenly across members, as the reference does
+            # (:815-822); the side-balanced mode streams each seating.
+            from pingpong_tpu.evaluation.fast_eval import (
+                rnn_win_rate,
+                rnn_win_rate_balanced,
+            )
+
+            kw = dict(
+                n_envs=min(self.cfg.num_envs, 4096),
+                tile_rows=min(self.cfg.pallas_tile_rows,
+                              self.cfg.num_envs, 4096),
+                max_episode_steps=self.cfg.max_episode_steps,
+            )
+            per = max(2, n_games // len(opponents))
+            if self.cfg.selfplay.swap_sides_eval:
+                wins_sum = w_b_sum = w_a_sum = 0.0
+                total = 0
+                for opp in opponents:
+                    self.key, k = jax.random.split(self.key)
+                    wr, as_b, as_a, eps = rnn_win_rate_balanced(
+                        self.env_params, opp, self.state.params_b, k,
+                        min_episodes=per, **kw,
+                    )
+                    wins_sum += wr * eps
+                    w_b_sum += as_b * eps
+                    w_a_sum += as_a * eps
+                    total += eps
+                self.logger.log({
+                    "event": "eval_seats",
+                    "win_as_b": w_b_sum / max(total, 1),
+                    "win_as_a": w_a_sum / max(total, 1),
+                })
+                return wins_sum / max(total, 1)
+            wins_sum = 0.0
+            total = 0
+            for opp in opponents:
+                self.key, k = jax.random.split(self.key)
+                wr, eps = rnn_win_rate(
+                    self.env_params, opp, self.state.params_b, k,
+                    min_episodes=per, **kw,
+                )
+                wins_sum += wr * eps
+                total += eps
+            return wins_sum / max(total, 1)
         stack_a = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *opponents)
         stack_b = jax.tree_util.tree_map(lambda x: x[None], self.state.params_b)
         per = max(1, n_games // len(opponents))
