@@ -350,11 +350,21 @@ class DQNLearner:
         opp_idx = jnp.where(
             state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
         )
-        # sort envs by bound member so kernel tiles span short ranges
-        perm = jnp.argsort(opp_idx)
-        opp_idx = opp_idx[perm]
-        env_state = jax.tree_util.tree_map(lambda x: x[perm], state.env_state)
-        ep_return = state.ep_return[perm]
+        # sort envs by bound member so kernel tiles span short ranges.
+        # A single-slot stack (empty pool) binds every env to slot 0 — the
+        # stable sort is the identity; skip it statically (n_slots is a
+        # static shape), saving the argsort + state gathers
+        n_slots = jax.tree_util.tree_leaves(opp_stack)[0].shape[0]
+        if n_slots > 1:
+            perm = jnp.argsort(opp_idx)
+            opp_idx = opp_idx[perm]
+            env_state = jax.tree_util.tree_map(
+                lambda x: x[perm], state.env_state
+            )
+            ep_return = state.ep_return[perm]
+        else:
+            env_state = state.env_state
+            ep_return = state.ep_return
 
         # Multi-chip: a Mosaic kernel is an opaque custom-call GSPMD
         # cannot partition (on a real pod it would all-gather and run the

@@ -341,10 +341,24 @@ class DRQNLearner:
             state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
         )
         # sort envs by bound member so kernel tiles span short ranges;
-        # keep the inverse to restore canonical env order afterwards
-        perm = jnp.argsort(opp_idx)
-        inv = jnp.argsort(perm)
-        env_state = jax.tree_util.tree_map(lambda x: x[perm], state.env_state)
+        # keep the inverse to restore canonical env order afterwards.
+        # With a single opponent slot (empty pool — e.g. every gen-1 try
+        # and the headline bench) opp_idx is all zeros and the stable sort
+        # is the identity: skip it STATICALLY (n_slots is a static shape)
+        # — the permute/unpermute gathers of env state, hidden blocks and
+        # the (T, B, ...) transition arrays are ~40% of rollout wall-clock
+        n_slots = jax.tree_util.tree_leaves(opp_stack)[0].shape[0]
+        sort_envs = n_slots > 1
+        if sort_envs:
+            perm = jnp.argsort(opp_idx)
+            inv = jnp.argsort(perm)
+            env_state = jax.tree_util.tree_map(
+                lambda x: x[perm], state.env_state
+            )
+        else:
+            env_state = state.env_state
+        opp_sorted = opp_idx[perm] if sort_envs else opp_idx
+        ret_sorted = state.ep_return[perm] if sort_envs else state.ep_return
 
         # packed hidden block (4H, B): [h_b; c_b; h_opp; c_opp], lanes =
         # envs. Re-bound envs start the opponent stream from zero.
@@ -353,7 +367,9 @@ class DRQNLearner:
         c_opp = jnp.where(rb, 0.0, state.hid_opp.c[0]).T
         hid = jnp.concatenate(
             [state.hid_b.h[0].T, state.hid_b.c[0].T, h_opp, c_opp], axis=0
-        )[:, perm]
+        )
+        if sort_envs:
+            hid = hid[:, perm]
 
         # shard_map over the data axis on a >1-device mesh — a Mosaic
         # kernel is an opaque custom-call GSPMD cannot partition; tile0
@@ -375,6 +391,7 @@ class DRQNLearner:
                 steps=cfg.rollout_length,
                 max_episode_steps=cfg.max_episode_steps,
                 tile_rows=tile, tile0=tile0,
+                steps_per_cell=cfg.pallas_steps_per_cell,
             )
 
         if ndata > 1 and local_envs and local_envs % tile == 0:
@@ -406,30 +423,34 @@ class DRQNLearner:
                 in_specs=(d, d, d, P(None, ax), r, r, r, r, r),
                 out_specs=(d, d, d, P(None, ax), tr_spec, r, r, d),
                 check_vma=False,   # pallas out_shapes carry no vma info
-            )(env_state, opp_idx[perm], state.ep_return[perm], hid,
+            )(env_state, opp_sorted, ret_sorted, hid,
               lw, lsig, ow, seed, state.epsilon)
         else:
             (new_env, new_opp_idx, new_ep_ret, hid_out, tr, stat_counts,
              ret_sum, ended) = call_kernel(
-                env_state, opp_idx[perm], state.ep_return[perm], hid,
+                env_state, opp_sorted, ret_sorted, hid,
                 lw, lsig, ow, seed, state.epsilon, 0,
             )
 
         # restore canonical env order everywhere (incl. transitions: the
         # sequence ring is per-env)
         def unperm(x):
-            return x[inv]
+            return x[inv] if sort_envs else x
+
+        def unperm_t(x):       # (T, B, ...) arrays: lanes axis 1
+            return x[:, inv] if sort_envs else x
 
         new_env = jax.tree_util.tree_map(unperm, new_env)
-        hid_out = hid_out[:, inv]
+        if sort_envs:
+            hid_out = hid_out[:, inv]
         H = cfg.lstm_hidden_dim
         buffer = seq_push_rollout(
             state.buffer,
-            tr["obs"][:, inv],
-            tr["action"][:, inv],
-            tr["reward"][:, inv],
-            tr["next_obs"][:, inv],
-            tr["done"][:, inv],
+            unperm_t(tr["obs"]),
+            unperm_t(tr["action"]),
+            unperm_t(tr["reward"]),
+            unperm_t(tr["next_obs"]),
+            unperm_t(tr["done"]),
             cfg.trace_length,
         )
         n_done = stat_counts[0] + stat_counts[2]
