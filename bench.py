@@ -27,11 +27,20 @@ import numpy as np
 # (t(N2) - t(N1)) / (N2 - N1), each t ending in one host fetch.
 
 
-def _slope_time(run_n, n1=10, n2=50):
-    """True per-call seconds via two host-fetch-terminated timings."""
-    t1 = run_n(n1)
-    t2 = run_n(n2)
-    return (t2 - t1) / (n2 - n1)
+def _slope_time(run_n, n1=10, n2=50, trials=3):
+    """True per-call seconds via host-fetch-terminated slope timings.
+
+    A single slope (t(n2)-t(n1))/(n2-n1) is fragile on this tunnel
+    backend: one multi-ms hiccup inside the n2 window inflates the
+    estimate by hiccup/(n2-n1) — the round-2 docs-vs-driver rollout
+    discrepancy traced to exactly this. The minimum over a few slope
+    trials discards additive noise (execution time is a hard floor)."""
+    best = float("inf")
+    for _ in range(trials):
+        t1 = run_n(n1)
+        t2 = run_n(n2)
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return best
 
 from pingpong_tpu.config import DQNConfig, EnvConfig
 from pingpong_tpu.env.pong import (
@@ -91,7 +100,7 @@ def bench_env_steps():
         np.asarray(rsum)
         return time.perf_counter() - t0
 
-    return BATCH * CHUNK / _slope_time(run_n, 2, 2 + REPEATS)
+    return BATCH * CHUNK / _slope_time(run_n, 5, 5 + 5 * REPEATS)
 
 
 def _bench_env_cfg():
@@ -188,7 +197,7 @@ def bench_pallas_rollout():
         np.asarray(s.ball_x[0])
         return time.perf_counter() - t0
 
-    return BATCH * CHUNK / _slope_time(run_n, 2, 2 + REPEATS)
+    return BATCH * CHUNK / _slope_time(run_n, 5, 5 + 5 * REPEATS)
 
 
 def main():

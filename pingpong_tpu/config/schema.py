@@ -147,6 +147,9 @@ class DQNConfig:
     use_pallas_update: bool = True
     pallas_tile_rows: int = 2048    # envs per kernel program (mult. of 128
                                     # on TPU; capped at num_envs)
+    pallas_member_groups: int = 2   # lane groups per tile for the masked
+                                    # opponent pass (pool tax ~ span/G;
+                                    # 1 = whole-tile member loop)
     num_envs: int = 4096            # lockstep env batch, sharded over 'data'
     rollout_length: int = 64        # env steps per jitted iteration
     updates_per_iteration: int = 64 # SGD steps per iteration; ref does 1 SGD

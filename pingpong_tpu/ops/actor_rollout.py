@@ -233,32 +233,53 @@ def _env_transition(params, cfg, uniform, seed_mix, rows, ctr,
     return rows_new, srow, emit
 
 
-def _one_step(params, cfg, member_range, uniform, seed_mix, epsilon,
+def _one_step(params, cfg, member_ranges, uniform, seed_mix, epsilon,
               lw, opp_refs, rows, ctr):
     """One env step on (1, E) field rows. Returns (rows', srow, emit).
 
-    ``member_range`` = (lo, hi): the only opponent slots bound to envs of
-    this tile. Envs are SORTED by bound member at chunk boundaries (see
-    train/dqn.py::_rollout_pallas), so hi - lo is ~0-2 regardless of pool
-    size — opponent compute no longer scales with the pool."""
+    ``member_ranges`` = list of G (lo, hi) pairs: the opponent slots bound
+    to envs of each E/G-lane GROUP of this tile. Envs are SORTED by bound
+    member at chunk boundaries (see train/dqn.py::_rollout_pallas), so
+    each group spans ~1 member regardless of pool size; running the
+    masked member forwards per narrow group instead of per full tile cuts
+    the pool tax by ~G/(span+G) (a tile spanning m members costs
+    ~(m+G)/G group-width forwards instead of m tile-width ones)."""
     (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
     E = bx.shape[1]
     row_f = (1, E)
-    lo, hi = member_range
 
     obs8 = obs8_from_rows(rows)                           # (8, E)
 
     # ---- opponent action (mirror folded into weights): only the member
-    # slots actually present in this tile are computed
-    def member_body(k, act_a):
-        ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
-        adv_k = _advantage_t(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
-        a_k = _argmax3_rows(adv_k)
-        return jnp.where(opp == k, a_k, act_a)
+    # slots actually present in each lane group are computed. One stacked
+    # slot (empty pool) needs no loop at all — the dynamic fori_loop is a
+    # Mosaic scheduling barrier for a statically-known single iteration.
+    if cfg.get("n_slots", 0) == 1:
+        ow = [r[0:1][0] for r in opp_refs]
+        act_a = _argmax3_rows(
+            _advantage_t(obs8, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5])
+        )
+    else:
+        G = len(member_ranges)
+        Eg = E // G
+        parts = []
+        for g, (lo, hi) in enumerate(member_ranges):
+            obs8_g = obs8[:, g * Eg:(g + 1) * Eg]
+            opp_g = opp[:, g * Eg:(g + 1) * Eg]
 
-    act_a = jax.lax.fori_loop(
-        lo, hi + 1, member_body, jnp.zeros(row_f, jnp.int32)
-    )
+            def member_body(k, act_a, obs8_g=obs8_g, opp_g=opp_g):
+                ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
+                adv_k = _advantage_t(
+                    obs8_g, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5]
+                )
+                a_k = _argmax3_rows(adv_k)
+                return jnp.where(opp_g == k, a_k, act_a)
+
+            parts.append(jax.lax.fori_loop(
+                lo, hi + 1, member_body,
+                jnp.zeros((1, Eg), jnp.int32),
+            ))
+        act_a = parts[0] if G == 1 else jnp.concatenate(parts, axis=1)
 
     # ---- learner action: factorized noise + epsilon-greedy
     u1 = uniform((8, 128), 1e-7, 1.0, seed_mix, ctr, 1)
@@ -347,7 +368,12 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     n_tiles = pl.num_programs(0)
-    member_range = (scalar_ref[4 + tile], scalar_ref[4 + n_tiles + tile])
+    G = cfg["member_groups"]
+    member_ranges = [
+        (scalar_ref[4 + tile * G + g],
+         scalar_ref[4 + n_tiles * G + tile * G + g])
+        for g in range(G)
+    ]
 
     @pl.when(tb == 0)
     def _():
@@ -360,7 +386,7 @@ def _actor_kernel_grid(params: EnvParams, cfg, n_members: int,
     stats = stats_ref[:]
     for j in range(cfg["steps_per_cell"]):
         rows, srow, emit = _one_step(
-            params, cfg, member_range, uniform, seed_mix, epsilon,
+            params, cfg, member_ranges, uniform, seed_mix, epsilon,
             lw, opp_refs, rows, jnp.int32(j * 16),
         )
         obs8, next8, act_b, reward_b, done_i = emit
@@ -411,13 +437,18 @@ def _actor_kernel(params: EnvParams, cfg, n_members: int, use_tpu_prng: bool,
         )
     epsilon = scalar_ref[1].astype(jnp.float32) * 1e-6
     n_tiles = pl.num_programs(0)
-    member_range = (scalar_ref[4 + tile], scalar_ref[4 + n_tiles + tile])
+    G = cfg["member_groups"]
+    member_ranges = [
+        (scalar_ref[4 + tile * G + g],
+         scalar_ref[4 + n_tiles * G + tile * G + g])
+        for g in range(G)
+    ]
     lw = [r[:] for r in learner_refs]
 
     def body(t, carry):
         rows, stats = carry
         rows, srow, emit = _one_step(
-            params, cfg, member_range, uniform, seed_mix, epsilon,
+            params, cfg, member_ranges, uniform, seed_mix, epsilon,
             lw, opp_refs, rows, t * jnp.int32(16),
         )
         if cfg["emit_transitions"]:
@@ -461,6 +492,10 @@ def pallas_actor_rollout(
                                 # under shard_map each data shard passes
                                 # axis_index * local_tile_count so PRNG
                                 # streams match the single-device program
+    member_groups: int = 8,     # lane groups per tile for the masked
+                                # opponent pass (pool tax ~ span/G);
+                                # clamped to >=256 lanes per group,
+                                # forced 1 for a single stacked slot
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, transitions,
     stat_counts, ret_sum, ended). transitions dict arrays are (T, B[, 7]);
@@ -478,10 +513,12 @@ def pallas_actor_rollout(
         raise ValueError(f"batch {B} must be a multiple of {E}")
     n_members = opponents.w1t.shape[0]
     n_tiles = B // E
-    # per-tile bound-member range (envs sorted by opp_idx ⇒ contiguous)
-    opp_by_tile = opp_idx.reshape(n_tiles, E)
-    tile_lo = jnp.min(opp_by_tile, axis=1).astype(jnp.int32)
-    tile_hi = jnp.max(opp_by_tile, axis=1).astype(jnp.int32)
+    # per-(tile, group) bound-member range (envs sorted by opp_idx ⇒
+    # contiguous): the masked opponent forwards run per E/G-lane group
+    G = 1 if n_members == 1 else max(1, min(member_groups, E // 256))
+    opp_by_group = opp_idx.reshape(n_tiles * G, E // G)
+    tile_lo = jnp.min(opp_by_group, axis=1).astype(jnp.int32)
+    tile_hi = jnp.max(opp_by_group, axis=1).astype(jnp.int32)
 
     zero = jnp.zeros((1, B), jnp.float32)
     F = jnp.concatenate(
@@ -510,7 +547,8 @@ def pallas_actor_rollout(
     cfg = {"steps": steps, "pool_ratio": float(pool_ratio),
            "max_episode_steps": int(max_episode_steps),
            "emit_transitions": bool(emit_transitions),
-           "steps_per_cell": int(steps_per_cell)}
+           "steps_per_cell": int(steps_per_cell),
+           "n_slots": int(n_members), "member_groups": int(G)}
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if emit_transitions and not interpret:

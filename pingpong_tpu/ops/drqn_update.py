@@ -22,10 +22,13 @@ TRANSPOSED with N = batch·time on lanes.
   argmax is integer, the target is stop-grad), so the 2·bs-lane backward
   masks dq on the next half — lanes are parallel, the dead half costs no
   wall-clock;
-* the target forward recomputes per update IN-KERNEL (three matmul
-  chains are cheaper than any staleness bookkeeping once launch overhead
-  is gone), which makes hard syncs and soft (Polyak) targets exact by
-  construction.
+* the target is piecewise-constant between hard syncs, so all K updates'
+  target forwards run as ONE wide pass at the first grid step (K·bs
+  lanes per LSTM step — ~16x wider matmuls on the same serial T-chain)
+  into a VMEM-resident Q(s') cache; updates after a mid-block hard sync
+  refresh their cache entry with a per-update recompute (rare branch),
+  and soft (Polyak) targets keep the per-update recompute entirely —
+  both exact by construction.
 
 Supported shapes (callers fall back to the XLA path otherwise): one LSTM
 layer, shared noisy head present, dims <= 128 (the reference's shipped
@@ -207,6 +210,7 @@ def _update_kernel(
     ts_ref,            # (1, 2) i32 SMEM — [train_steps, adam_count]
     obs_ref,           # (1, 8, T*B2) f32 block — obs‖next, T-major lanes
     meta_ref,          # (1, 8, bs) f32 block — rows: act, rew, done, valid
+    nextt_ref,         # (T, 8, K*bs) f32 — ALL updates' next-obs, t-slabbed
     noise_ref,         # UpdNoise pytree of (1, ...) blocks
     online_in,         # UpdParams pytree (inputs)
     target_in,         # UpdParams pytree
@@ -218,6 +222,8 @@ def _update_kernel(
     v_out,
     losses_ref,        # (1, K) f32 SMEM — one scalar per grid step
     ts_out,            # (1, 1) i32
+    qt_ref,            # (K*8, bs) f32 — precomputed target Q(s') cache
+                       #   (update k's 8 Q rows at sublanes [8k, 8k+8))
     *,
     dims,              # (F1, F, H, HH)
     K: int,
@@ -295,15 +301,70 @@ def _update_kernel(
         q_s = q8[:, :bs]                     # learner Q(s) rows 0-2
         q_ns = q8[:, bs:]                    # online Q(s') for argmax
 
-        # ---- target forward on the SAME (obs‖next) lanes, mu-only -----
+        # ---- target Q(s'), mu-only --------------------------------------
+        # The target is piecewise-constant between hard syncs, so with
+        # tau == 0 ALL K updates' target forwards run as ONE wide pass at
+        # k == 0 (K*bs lanes per LSTM step instead of B2 — ~16x wider
+        # matmuls on the same serial T-chain). A sync landing mid-block
+        # invalidates the cache for the tail k's only; those recompute
+        # per-update, exactly as before, via the rarely-taken pl.when.
         Tg = target_out
-        _, _, xp_t = fwd_feats(Tg, xt)
-        h_Tt, _ = lstm_fwd(xp_t, Tg.whht[...], store=False)
-        s_t = jnp.maximum(_mm(Tg.wst_mu[...], h_Tt) + Tg.bst_mu[...], 0.0)
-        v8t = _mm(Tg.wvt_mu[...], s_t) + Tg.bvt_mu[...]
-        a8t = _mm(Tg.wat_mu[...], s_t) + Tg.bat_mu[...]
-        q8t = v8t[0:1] + a8t - (a8t[0:1] + a8t[1:2] + a8t[2:3]) / 3.0
-        q_t = q8t[:, bs:]                    # target Q(s')
+
+        def target_head(h_t):
+            s_t = jnp.maximum(
+                _mm(Tg.wst_mu[...], h_t) + Tg.bst_mu[...], 0.0
+            )
+            v8t = _mm(Tg.wvt_mu[...], s_t) + Tg.bvt_mu[...]
+            a8t = _mm(Tg.wat_mu[...], s_t) + Tg.bat_mu[...]
+            return v8t[0:1] + a8t - (a8t[0:1] + a8t[1:2] + a8t[2:3]) / 3.0
+
+        if tau > 0.0:
+            # Polyak: the target moves every update — no precompute.
+            _, _, xp_t = fwd_feats(Tg, xt)
+            h_Tt, _ = lstm_fwd(xp_t, Tg.whht[...], store=False)
+            q_t = target_head(h_Tt)[:, bs:]
+        else:
+            KB = K * bs
+
+            @pl.when(k == 0)
+            def _():
+                h_t = jnp.zeros((H, KB), jnp.float32)
+                c_t = jnp.zeros((H, KB), jnp.float32)
+                whh_t = Tg.whht[...]
+                for t in range(T):
+                    x8 = nextt_ref[t]                       # (8, KB)
+                    f1t = jnp.maximum(
+                        _mm(Tg.w1t[...], x8) + Tg.b1t[...], 0.0
+                    )
+                    f2t = jnp.maximum(
+                        _mm(Tg.w2t[...], f1t) + Tg.b2t[...], 0.0
+                    )
+                    g = (_mm(Tg.wiht[...], f2t) + Tg.biht[...]
+                         + Tg.bhht[...] + _mm(whh_t, h_t))
+                    gi = _sigmoid(g[0:H])
+                    gf = _sigmoid(g[H:2 * H])
+                    gg = jnp.tanh(g[2 * H:3 * H])
+                    go = _sigmoid(g[3 * H:4 * H])
+                    c_t = gf * c_t + gi * gg
+                    h_t = go * jnp.tanh(c_t)
+                q_wide = target_head(h_t)                   # (8, KB)
+                for kk in range(K):
+                    qt_ref[kk * 8:(kk + 1) * 8, :] = (
+                        q_wide[:, kk * bs:(kk + 1) * bs]
+                    )
+
+            # a hard sync at end of update j (j = interval-1 - ts0%interval)
+            # makes cache entries k > j stale: refresh this k's entry
+            row0 = pl.multiple_of(k * 8, 8)
+            stale = (ts0 % interval) + k >= interval
+
+            @pl.when(stale)
+            def _():
+                _, _, xp_t = fwd_feats(Tg, xt)
+                h_Tt, _ = lstm_fwd(xp_t, Tg.whht[...], store=False)
+                qt_ref[pl.ds(row0, 8), :] = target_head(h_Tt)[:, bs:]
+
+            q_t = qt_ref[pl.ds(row0, 8), :]                 # (8, bs)
 
         # ---- Double-DQN TD + masked Huber ------------------------------
         na0 = (q_ns[1:2] > q_ns[0:1]).astype(jnp.float32)
@@ -503,6 +564,12 @@ def pallas_drqn_update_block(
     meta = jnp.concatenate(
         [meta, jnp.zeros((K, 4, bs), jnp.float32)], axis=1
     )                                                       # (K, 8, bs)
+    # all updates' next-obs, t-slabbed for the wide k==0 target pass:
+    # (K, bs, T, 7) -> (T, 8, K*bs), lane = k*bs + b
+    nextt = jnp.transpose(next_seq, (2, 3, 0, 1)).reshape(T, 7, K * bs)
+    nextt = jnp.concatenate(
+        [nextt, jnp.zeros((T, 1, K * bs), jnp.float32)], axis=1
+    )
     ts = jnp.stack([
         jnp.asarray(train_steps, jnp.int32),
         jnp.asarray(adam_count, jnp.int32),
@@ -533,11 +600,12 @@ def pallas_drqn_update_block(
     shapes = lambda tree: jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
     )
-    # flat input order: ts(0) xt(1) meta(2) noise(3..8) online(9..28)
-    # target(29..48) m(49..68) v(69..88); flat output order: online(0..19)
-    # target(20..39) m(40..59) v(60..79) losses(80) ts(81)
+    # flat input order: ts(0) xt(1) meta(2) nextt(3) noise(4..9)
+    # online(10..29) target(30..49) m(50..69) v(70..89); flat output
+    # order: online(0..19) target(20..39) m(40..59) v(60..79) losses(80)
+    # ts(81) qt-cache(82)
     n_p = len(online)
-    aliases = {9 + i: i for i in range(4 * n_p)}
+    aliases = {10 + i: i for i in range(4 * n_p)}
     out = pl.pallas_call(
         kernel,
         grid=(K,),
@@ -546,6 +614,7 @@ def pallas_drqn_update_block(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             _kblock_spec(xt),
             _kblock_spec(meta),
+            _const_spec(nextt),
             noise_specs,
             param_specs, param_specs, param_specs, param_specs,
         ),
@@ -553,13 +622,15 @@ def pallas_drqn_update_block(
             param_specs, param_specs, param_specs, param_specs,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            _const_spec(jax.ShapeDtypeStruct((K * 8, bs), jnp.float32)),
         ),
         out_shape=(
             shapes(online), shapes(target), shapes(m), shapes(v),
             jax.ShapeDtypeStruct((1, K), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((K * 8, bs), jnp.float32),
         ),
         interpret=interpret,
-    )(ts, xt, meta, noise, online, target, m, v)
-    online2, target2, m2, v2, losses8, ts2 = out
+    )(ts, xt, meta, nextt, noise, online, target, m, v)
+    online2, target2, m2, v2, losses8, ts2, _qt = out
     return online2, target2, m2, v2, losses8[0], ts2[0, 0]

@@ -18,7 +18,8 @@ N = E lanes keeps the MXU wide:
 
     f1    = relu(W1t @ obs8 + b1t)            (F1, 8) @ (8, E)
     f2    = relu(W2t @ f1 + b2t)              (F, F1) @ (F1, E)
-    gates = Wiht @ f2 + Whht @ h + bgt        (4H, F) @ (F, E) + (4H, H) @ (H, E)
+    gates = Wght @ [f2; h] + bgt              (4H, F+H) @ (F+H, E)
+            (Wght = [w_ih | w_hh] packed host-side: ONE gates matmul)
     h', c' per torch gate order i,f,g,o       row slices of (4H, E)
     s     = relu(Wst @ h' + bst)              (HH, H) @ (H, E)   [shared noisy]
     adv   = Wat @ s + bat                     (8, HH) @ (HH, E)  [A head]
@@ -104,8 +105,8 @@ class PackedQNetRNN(NamedTuple):
     b1t: jax.Array    # (..., F1, 1)
     w2t: jax.Array    # (..., F, F1)
     b2t: jax.Array    # (..., F, 1)
-    wiht: jax.Array   # (..., 4H, F)
-    whht: jax.Array   # (..., 4H, H)
+    wght: jax.Array   # (..., 4H, F+H)  [w_ih | w_hh] fused at pack time:
+                      #   one gates matmul per step instead of two
     bgt: jax.Array    # (..., 4H, 1)
     wst: jax.Array    # (..., HH, H)   shared noisy mu
     bst: jax.Array    # (..., HH, 1)
@@ -167,8 +168,7 @@ def pack_qnet_rnn(params: QNetRNNParams, mirror: bool = False) -> PackedQNetRNN:
         b1t=b1t,
         w2t=_t(params.feat2.w),
         b2t=_col(params.feat2.b),
-        wiht=_t(lstm.w_ih),
-        whht=_t(lstm.w_hh),
+        wght=jnp.concatenate([_t(lstm.w_ih), _t(lstm.w_hh)], axis=-1),
         bgt=_col(lstm.b_ih + lstm.b_hh),
         wst=_t(params.shared.w_mu),
         bst=_col(params.shared.b_mu),
@@ -192,11 +192,15 @@ def pack_rnn_sigma(params: QNetRNNParams) -> RNNSigma:
 
 
 def _rnn_advantage(w, obs8, h, c, noisy_eff=None):
-    """Transposed recurrent forward. Returns (adv (8, E), h', c')."""
+    """Transposed recurrent forward. Returns (adv (8, E), h', c').
+
+    The input and recurrent LSTM projections run as ONE matmul over the
+    stacked ``[f2; h]`` activations — ``wght`` is packed ``[w_ih | w_hh]``
+    host-side, so the per-step cost is a single (4H, F+H) @ (F+H, E)."""
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     f1 = jnp.maximum(dot(w[0], obs8) + w[1], 0.0)
     f2 = jnp.maximum(dot(w[2], f1) + w[3], 0.0)
-    gates = dot(w[4], f2) + dot(w[5], h) + w[6]
+    gates = dot(w[4], jnp.concatenate([f2, h], axis=0)) + w[5]
     H = h.shape[0]
     gi = jax.nn.sigmoid(gates[0:H])
     gf = jax.nn.sigmoid(gates[H:2 * H])
@@ -205,7 +209,7 @@ def _rnn_advantage(w, obs8, h, c, noisy_eff=None):
     c_new = gf * c + gi * gg
     h_new = go * jnp.tanh(c_new)
     if noisy_eff is None:
-        ws, bs, wa, ba = w[7], w[8], w[9], w[10]
+        ws, bs, wa, ba = w[6], w[7], w[8], w[9]
     else:
         ws, bs, wa, ba = noisy_eff
     s = jnp.maximum(dot(ws, h_new) + bs, 0.0)
@@ -232,11 +236,46 @@ def _draw_noise(uniform, seed_mix, ctr, dims):
     )
 
 
+def _draw_noise_batch(uniform, seed_mix, ctr, dims, n_steps):
+    """All ``n_steps`` steps' factorized noise in four wide draws — same
+    per-step shapes as :func:`_draw_noise` (128-lane slice j), but the
+    Box-Muller transcendentals issue as ``n_steps``-wide VPU ops instead
+    of one small op per step. Returns a per-step list of tuples."""
+    H, HH = dims
+    W = n_steps * 128
+    u1 = uniform((8, W), 1e-7, 1.0, seed_mix, ctr, 10)
+    u2 = uniform((8, W), 0.0, 1.0, seed_mix, ctr, 11)
+    nr = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+    # column noise via the full Box-Muller PAIR (cos+sin halves): half the
+    # uniform draws and half the log/sqrt for the (128, W) normal block
+    rows = max(HH, 8)
+    half = max(rows // 2, 8)
+    u3 = uniform((half, W), 1e-7, 1.0, seed_mix, ctr, 12)
+    u4 = uniform((half, W), 0.0, 1.0, seed_mix, ctr, 13)
+    r = jnp.sqrt(-2.0 * jnp.log(u3))
+    a = 2.0 * np.pi * u4
+    nc = jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)[:rows]
+    nr = _scale_noise(nr)
+    nc = _scale_noise(nc)
+    out = []
+    for j in range(n_steps):
+        o = j * 128
+        out.append((
+            nr[0:1, o:o + H],           # eps_in shared  (1, H)
+            nc[:HH, o:o + 1],           # eps_out shared (HH, 1)
+            nr[1:2, o:o + HH],          # eps_in A       (1, HH)
+            nc[:8, o + 1:o + 2],        # eps_out A      (8, 1)
+        ))
+    return out
+
+
 def _one_step_rnn(params, cfg, member_range, uniform, seed_mix, epsilon,
-                  lw, lsig, opp_refs, rows, hid, ctr):
+                  lw, lsig, opp_refs, rows, hid, ctr, noise=None):
     """One recurrent env step on (1, E) rows + (H, E) hidden blocks.
 
     ``hid`` = (h_b, c_b, h_opp, c_opp). Returns (rows', hid', srow, emit).
+    ``noise`` — optional pre-drawn per-step factorized noise tuple (the
+    grid kernel batches all steps of a cell via _draw_noise_batch).
     """
     (bx, by, vx, vy, bot, top, sp, ret, sa, sb, bc, tt, opp) = rows
     h_b, c_b, h_opp, c_opp = hid
@@ -247,32 +286,42 @@ def _one_step_rnn(params, cfg, member_range, uniform, seed_mix, epsilon,
 
     obs8 = obs8_from_rows(rows)                           # (8, E)
 
-    # ---- bound opponent: only member slots present in this tile
-    def member_body(k, carry):
-        act_a, h_n, c_n = carry
-        ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
-        adv_k, h_k, c_k = _rnn_advantage(ow, obs8, h_opp, c_opp)
-        m = opp == k                                      # (1, E)
-        return (
-            jnp.where(m, _argmax3_rows(adv_k), act_a),
-            jnp.where(m, h_k, h_n),
-            jnp.where(m, c_k, c_n),
+    # ---- bound opponent: only member slots present in this tile. With a
+    # single stacked slot (empty pool — every gen-1 try and the headline
+    # bench) the dynamic member loop is a Mosaic scheduling barrier for
+    # one statically-known iteration: specialize it away.
+    if cfg.get("n_slots", 0) == 1:
+        ow = [r[0:1][0] for r in opp_refs]
+        adv_0, h_opp_new, c_opp_new = _rnn_advantage(
+            ow, obs8, h_opp, c_opp
         )
+        act_a = _argmax3_rows(adv_0)
+    else:
+        def member_body(k, carry):
+            act_a, h_n, c_n = carry
+            ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
+            adv_k, h_k, c_k = _rnn_advantage(ow, obs8, h_opp, c_opp)
+            m = opp == k                                  # (1, E)
+            return (
+                jnp.where(m, _argmax3_rows(adv_k), act_a),
+                jnp.where(m, h_k, h_n),
+                jnp.where(m, c_k, c_n),
+            )
 
-    act_a, h_opp_new, c_opp_new = jax.lax.fori_loop(
-        lo, hi + 1, member_body,
-        (jnp.zeros(row_f, jnp.int32), h_opp, c_opp),
-    )
+        act_a, h_opp_new, c_opp_new = jax.lax.fori_loop(
+            lo, hi + 1, member_body,
+            (jnp.zeros(row_f, jnp.int32), h_opp, c_opp),
+        )
 
     # ---- learner: fresh factorized noise each step + epsilon-greedy;
     # hidden advances on explore steps too (ref :371-389)
-    e_in_s, e_out_s, e_in_a, e_out_a = _draw_noise(
-        uniform, seed_mix, ctr, (H, HH)
-    )
-    ws_eff = lw[7] + lsig[0] * (e_out_s * e_in_s)
-    bs_eff = lw[8] + lsig[1] * e_out_s
-    wa_eff = lw[9] + lsig[2] * (e_out_a * e_in_a)
-    ba_eff = lw[10] + lsig[3] * e_out_a
+    if noise is None:
+        noise = _draw_noise(uniform, seed_mix, ctr, (H, HH))
+    e_in_s, e_out_s, e_in_a, e_out_a = noise
+    ws_eff = lw[6] + lsig[0] * (e_out_s * e_in_s)
+    bs_eff = lw[7] + lsig[1] * e_out_s
+    wa_eff = lw[8] + lsig[2] * (e_out_a * e_in_a)
+    ba_eff = lw[9] + lsig[3] * e_out_a
     ba_eff = jnp.where(ba_eff < NEG_BIG * 0.5, NEG_BIG, ba_eff)
     adv_b, h_b_new, c_b_new = _rnn_advantage(
         lw, obs8, h_b, c_b, (ws_eff, bs_eff, wa_eff, ba_eff)
@@ -313,14 +362,13 @@ def _rnn_kernel_grid(params: EnvParams, cfg, use_tpu_prng: bool,
     f_ref = refs[i]; i += 1
     i_ref = refs[i]; i += 1
     hid_ref = refs[i]; i += 1
-    learner_refs = refs[i:i + 11]; i += 11
+    learner_refs = refs[i:i + 10]; i += 10
     sigma_refs = refs[i:i + 4]; i += 4
-    opp_refs = refs[i:i + 11]; i += 11
+    opp_refs = refs[i:i + 10]; i += 10
     out_f_ref = refs[i]; i += 1
     out_i_ref = refs[i]; i += 1
     out_hid_ref = refs[i]; i += 1
     tr_obs_ref = refs[i]; i += 1     # block (spc, 8, E) at (t, 0, i)
-    tr_next_ref = refs[i]; i += 1
     tr_act_ref = refs[i]; i += 1     # block (spc, E) at (t, i)
     tr_rew_ref = refs[i]; i += 1
     tr_done_ref = refs[i]; i += 1
@@ -357,18 +405,23 @@ def _rnn_kernel_grid(params: EnvParams, cfg, use_tpu_prng: bool,
     lw = [r[:] for r in learner_refs]
     lsig = [r[:] for r in sigma_refs]
     H = cfg["lstm_hidden_dim"]
+    HH = cfg["head_hidden_dim"]
+    spc = cfg["steps_per_cell"]
     rows = _rows_from_blocks(out_f_ref[:], out_i_ref[:])
     hid = _hid_from_block(out_hid_ref[:], H)
     stats = stats_ref[:]
-    for j in range(cfg["steps_per_cell"]):
+    noise_steps = _draw_noise_batch(
+        uniform, seed_mix, jnp.int32(0), (H, HH), spc
+    )
+    for j in range(spc):
         rows, hid, srow, emit = _one_step_rnn(
             params, cfg, member_range, uniform, seed_mix, epsilon,
             lw, lsig, opp_refs, rows, hid, jnp.int32(j * 16),
+            noise=noise_steps[j],
         )
-        obs8, next8, act_b, reward_b, done_i = emit
+        obs8, _next8, act_b, reward_b, done_i = emit
         stats = stats + srow
         tr_obs_ref[j] = obs8
-        tr_next_ref[j] = next8
         tr_act_ref[j:j + 1, :] = act_b
         tr_rew_ref[j:j + 1, :] = reward_b
         tr_done_ref[j:j + 1, :] = done_i
@@ -389,15 +442,14 @@ def _rnn_kernel(params: EnvParams, cfg, use_tpu_prng: bool,
     f_ref = refs[i]; i += 1
     i_ref = refs[i]; i += 1
     hid_ref = refs[i]; i += 1
-    learner_refs = refs[i:i + 11]; i += 11
+    learner_refs = refs[i:i + 10]; i += 10
     sigma_refs = refs[i:i + 4]; i += 4
-    opp_refs = refs[i:i + 11]; i += 11
+    opp_refs = refs[i:i + 10]; i += 10
     out_f_ref = refs[i]; i += 1
     out_i_ref = refs[i]; i += 1
     out_hid_ref = refs[i]; i += 1
     if cfg["emit_transitions"]:
         tr_obs_ref = refs[i]; i += 1     # (steps, 8, E)
-        tr_next_ref = refs[i]; i += 1
         tr_act_ref = refs[i]; i += 1     # (steps, E)
         tr_rew_ref = refs[i]; i += 1
         tr_done_ref = refs[i]; i += 1
@@ -429,9 +481,8 @@ def _rnn_kernel(params: EnvParams, cfg, use_tpu_prng: bool,
             lw, lsig, opp_refs, rows, hid, t * jnp.int32(16),
         )
         if cfg["emit_transitions"]:
-            obs8, next8, act_b, reward_b, done_i = emit
+            obs8, _next8, act_b, reward_b, done_i = emit
             tr_obs_ref[pl.ds(t, 1)] = obs8[None]
-            tr_next_ref[pl.ds(t, 1)] = next8[None]
             tr_act_ref[pl.ds(t, 1), :] = act_b
             tr_rew_ref[pl.ds(t, 1), :] = reward_b
             tr_done_ref[pl.ds(t, 1), :] = done_i
@@ -520,7 +571,8 @@ def pallas_recurrent_rollout(
     cfg = {"steps": steps, "max_episode_steps": int(max_episode_steps),
            "emit_transitions": bool(emit_transitions),
            "steps_per_cell": int(steps_per_cell),
-           "lstm_hidden_dim": int(H), "head_hidden_dim": int(HH)}
+           "lstm_hidden_dim": int(H), "head_hidden_dim": int(HH),
+           "n_slots": int(opponents.w1t.shape[0])}
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if emit_transitions and not interpret:
@@ -538,16 +590,16 @@ def pallas_recurrent_rollout(
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [rb(F_ROWS), rb(I_ROWS), rb(H4)]
-            + [full()] * 26
+            + [full()] * 24
         )
         out_specs = [
             rb(F_ROWS), rb(I_ROWS), rb(H4),
-            slab3, slab3, slab2, slab2, slab2,
+            slab3, slab2, slab2, slab2,
             rb(8),
         ]
         out_shape = [
             sds((F_ROWS, B), f32), sds((I_ROWS, B), i32), sds((H4, B), f32),
-            sds((steps, 8, B), f32), sds((steps, 8, B), f32),
+            sds((steps, 8, B), f32),
             sds((steps, B), i32), sds((steps, B), f32),
             sds((steps, B), i32),
             sds((8, B), f32),
@@ -566,18 +618,18 @@ def pallas_recurrent_rollout(
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [rb(F_ROWS), rb(I_ROWS), rb(H4)]
-            + [full()] * 26
+            + [full()] * 24
         )
         if emit_transitions:
             out_specs = [
                 rb(F_ROWS), rb(I_ROWS), rb(H4),
-                t_block3, t_block3, t_block2, t_block2, t_block2,
+                t_block3, t_block2, t_block2, t_block2,
                 rb(8),
             ]
             out_shape = [
                 sds((F_ROWS, B), f32), sds((I_ROWS, B), i32),
                 sds((H4, B), f32),
-                sds((steps, 8, B), f32), sds((steps, 8, B), f32),
+                sds((steps, 8, B), f32),
                 sds((steps, B), i32), sds((steps, B), f32),
                 sds((steps, B), i32),
                 sds((8, B), f32),
@@ -590,17 +642,25 @@ def pallas_recurrent_rollout(
             ]
         kernel = functools.partial(_rnn_kernel, params, cfg, not interpret)
 
+    # Alias the env-state/hidden inputs onto their outputs: the kernel
+    # copies in->out at the first grid cell and never reads the input
+    # again, so in/out can share one VMEM window — saving ~2.1MB at
+    # E=1024 (the margin that used to OOM the Mosaic scoped-vmem stack
+    # for tiles > 512). Unlike the PER-plane trap (docs/PERF.md), F, I
+    # and hid are freshly packed intermediates of THIS jit — never
+    # bitcast views of donated train-state buffers.
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
     )(scalars, F, I, hid, *learner, *sigma, *opponents)
 
     if emit_transitions:
-        (F_out, I_out, hid_out, tr_obs, tr_next, tr_act, tr_rew, tr_done,
+        (F_out, I_out, hid_out, tr_obs, tr_act, tr_rew, tr_done,
          stats) = outs
     else:
         F_out, I_out, hid_out, stats = outs
@@ -614,11 +674,12 @@ def pallas_recurrent_rollout(
         done=jnp.zeros((B,), jnp.bool_),
     )
     if emit_transitions:
+        # next_obs is not emitted: the sequence ring derives it from obs
+        # at sample time (replay/sequence.py::SeqSample)
         transitions = {
             "obs": jnp.swapaxes(tr_obs, 1, 2)[..., :7],
             "action": tr_act,
             "reward": tr_rew,
-            "next_obs": jnp.swapaxes(tr_next, 1, 2)[..., :7],
             "done": tr_done.astype(bool),
         }
     else:

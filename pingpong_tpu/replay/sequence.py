@@ -50,10 +50,18 @@ Array = jax.Array
 
 
 class SeqReplay(NamedTuple):
+    """``next_obs`` is NOT stored: within a valid window (single episode,
+    consecutive columns) ``next_obs[j] == obs[j+1]``, so :func:`seq_sample`
+    derives the next-sequence by a +1-shifted gather — halving the ring's
+    dominant storage and the rollout kernel's transition-emit traffic. The
+    one position where the identity fails, a window whose LAST step ends
+    the episode, is exactly the position whose bootstrap term the Double-
+    DQN loss multiplies by ``(1 - done)``: the garbage value is
+    mathematically unreachable (train/drqn.py::_update)."""
+
     obs: Array        # (B, R, obs_dim) f32
     action: Array     # (B, R) i32
     reward: Array     # (B, R) f32
-    next_obs: Array   # (B, R, obs_dim) f32
     done: Array       # (B, R) bool
     ep_id: Array      # (B, R) i32, -1 = never written
     cursor: Array     # i32 shared column cursor (total steps written)
@@ -73,7 +81,9 @@ class SeqSample(NamedTuple):
     obs: Array        # (N, T, obs_dim)
     action: Array     # (N, T)
     reward: Array     # (N, T)
-    next_obs: Array   # (N, T, obs_dim)
+    next_obs: Array   # (N, T, obs_dim) — derived obs[t0+1 .. t0+T]; the
+                      #   final element is undefined when done[T-1] (the
+                      #   loss masks that bootstrap term by 1-done)
     done: Array       # (N, T)
     valid: Array      # (N,) bool — invalid samples must be masked in loss
 
@@ -91,7 +101,6 @@ def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7,
         obs=jnp.zeros((num_envs, ring_len, obs_dim), jnp.float32),
         action=jnp.zeros((num_envs, ring_len), jnp.int32),
         reward=jnp.zeros((num_envs, ring_len), jnp.float32),
-        next_obs=jnp.zeros((num_envs, ring_len, obs_dim), jnp.float32),
         done=jnp.zeros((num_envs, ring_len), jnp.bool_),
         ep_id=jnp.full((num_envs, ring_len), -1, jnp.int32),
         cursor=jnp.int32(0),
@@ -129,7 +138,6 @@ def seq_push_step(
     obs: Array,        # (B, obs_dim)
     action: Array,     # (B,)
     reward: Array,     # (B,)
-    next_obs: Array,   # (B, obs_dim)
     done: Array,       # (B,) bool — episode boundary (incl. truncation)
     trace_length: int,
 ) -> SeqReplay:
@@ -152,7 +160,6 @@ def seq_push_step(
         obs=buf.obs.at[:, col].set(obs),
         action=buf.action.at[:, col].set(action),
         reward=buf.reward.at[:, col].set(reward),
-        next_obs=buf.next_obs.at[:, col].set(next_obs),
         done=buf.done.at[:, col].set(done),
         ep_id=buf.ep_id.at[:, col].set(buf.cur_ep_id),
         cursor=buf.cursor + 1,
@@ -169,7 +176,6 @@ def seq_push_rollout(
     obs: Array,        # (T, B, obs_dim)
     action: Array,     # (T, B)
     reward: Array,     # (T, B)
-    next_obs: Array,   # (T, B, obs_dim)
     done: Array,       # (T, B) bool
     trace_length: int,
 ) -> SeqReplay:
@@ -252,7 +258,6 @@ def seq_push_rollout(
         obs=put(buf.obs, obs),
         action=put(buf.action, action),
         reward=put(buf.reward, reward),
-        next_obs=put(buf.next_obs, next_obs),
         done=put(buf.done, done),
         ep_id=put_bt(buf.ep_id, ep_ids),
         cursor=buf.cursor + T,
@@ -265,12 +270,21 @@ def seq_push_rollout(
 
 
 def _window_valid(buf: SeqReplay, env: Array, t0: Array, trace_length: int) -> Array:
-    """Endpoint-id equality + written-region check for (env, t0) windows."""
+    """Endpoint-id equality + written-region check for (env, t0) windows.
+
+    Because ``next_obs`` is derived as ``obs[t0+1 .. t0+T]``, a window
+    whose last step does NOT end its episode additionally needs the
+    element at ``t0+T`` to be written and time-adjacent — i.e. the
+    EXTENDED interval ``[t0, t0+T]`` must not abut the write frontier.
+    Windows that end exactly on an episode boundary need no next value
+    (the loss masks the bootstrap term by ``1-done``) and keep the
+    original, unextended rules."""
     ring = buf.ep_id.shape[1]
+    T = trace_length
     id_lo = buf.ep_id[env, t0]
-    id_hi = buf.ep_id[env, t0 + trace_length - 1]
+    id_hi = buf.ep_id[env, t0 + T - 1]
     written = jnp.minimum(buf.cursor, ring)
-    in_range = (t0 + trace_length) <= written
+    in_range = (t0 + T) <= written
     # exclude the in-flight episode's tail: those entries are being actively
     # overwritten next wrap; simpler correctness: windows entirely of one
     # finished-or-current episode are fine (ref trains on stored full
@@ -284,8 +298,17 @@ def _window_valid(buf: SeqReplay, env: Array, t0: Array, trace_length: int) -> A
     # episode spans ~ring_len steps (same id on both sides of the seam);
     # reject any window whose columns contain both seam sides.
     seam = buf.cursor % ring
-    straddles_seam = (buf.cursor >= ring) & (seam > t0) & (seam < t0 + trace_length)
-    return (id_lo == id_hi) & (id_lo >= 0) & in_range & not_inflight & ~straddles_seam
+    straddles_seam = (buf.cursor >= ring) & (seam > t0) & (seam < t0 + T)
+    ok = (id_lo == id_hi) & (id_lo >= 0) & in_range & not_inflight \
+        & ~straddles_seam
+    # derived-next frontier/seam rules for windows still needing obs[t0+T]
+    end_done = buf.done[env, t0 + T - 1]
+    next_written = (t0 + T) < buf.cursor            # pre-wrap frontier
+    next_seam_ok = ~((buf.cursor >= ring) & (seam == (t0 + T) % ring))
+    next_ok = end_done | (
+        jnp.where(buf.cursor >= ring, next_seam_ok, next_written)
+    )
+    return ok & next_ok
 
 
 def seq_sample(
@@ -350,14 +373,19 @@ def seq_sample(
     # (env, time) plane and taking N*T rows in a single jnp.take is ~20x
     # faster and bit-identical (ring rows never straddle the env axis:
     # t0 <= ring - trace_length by construction of t_max above)
-    flat_idx = (
-        env[:, None] * ring + t0[:, None]
-        + jnp.arange(trace_length, dtype=jnp.int32)[None, :]
+    offs = jnp.arange(trace_length, dtype=jnp.int32)[None, :]
+    flat_idx = (env[:, None] * ring + t0[:, None] + offs).reshape(-1)
+    # derived next-sequence: the same rows shifted +1 (mod ring for the
+    # single element of a window ending at the row's last column; the
+    # validity rules above guarantee that wrapped element is either
+    # time-adjacent or masked by done)
+    flat_next = (
+        env[:, None] * ring + (t0[:, None] + offs + 1) % ring
     ).reshape(-1)
 
-    def gather(arr):
+    def gather(arr, idx=flat_idx):
         a = arr.reshape((num_envs * ring,) + arr.shape[2:])
-        return jnp.take(a, flat_idx, axis=0).reshape(
+        return jnp.take(a, idx, axis=0).reshape(
             (batch_size, trace_length) + arr.shape[2:]
         )
 
@@ -365,7 +393,7 @@ def seq_sample(
         obs=gather(buf.obs),
         action=gather(buf.action),
         reward=gather(buf.reward),
-        next_obs=gather(buf.next_obs),
+        next_obs=gather(buf.obs, flat_next),
         done=gather(buf.done),
         valid=valid,
     )

@@ -390,6 +390,7 @@ class DQNLearner:
                 pool_ratio=cfg.selfplay.opponent_pool_ratio,
                 max_episode_steps=self.env_cfg.max_episode_steps,
                 tile_rows=tile, tile0=tile0,
+                member_groups=cfg.pallas_member_groups,
             )
 
         if ndata > 1 and local_envs and local_envs % tile == 0:

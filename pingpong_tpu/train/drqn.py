@@ -182,7 +182,6 @@ class DRQNLearner:
                 obs=put(state.buffer.obs, P(d)),
                 action=put(state.buffer.action, P(d)),
                 reward=put(state.buffer.reward, P(d)),
-                next_obs=put(state.buffer.next_obs, P(d)),
                 done=put(state.buffer.done, P(d)),
                 ep_id=put(state.buffer.ep_id, P(d)),
                 cursor=put(state.buffer.cursor, P()),
@@ -414,8 +413,7 @@ class DRQNLearner:
             d, r = P(ax), P()
             tr_spec = {
                 "obs": P(None, ax, None), "action": P(None, ax),
-                "reward": P(None, ax), "next_obs": P(None, ax, None),
-                "done": P(None, ax),
+                "reward": P(None, ax), "done": P(None, ax),
             }
             (new_env, new_opp_idx, new_ep_ret, hid_out, tr, stat_counts,
              ret_sum, ended) = jax.shard_map(
@@ -449,7 +447,6 @@ class DRQNLearner:
             unperm_t(tr["obs"]),
             unperm_t(tr["action"]),
             unperm_t(tr["reward"]),
-            unperm_t(tr["next_obs"]),
             unperm_t(tr["done"]),
             cfg.trace_length,
         )
@@ -607,7 +604,7 @@ class DRQNLearner:
                 next_env, hid_b_next, hid_opp_next, opp_idx,
                 jnp.where(done, 0.0, ep_ret), epsilon, episodes + n_done,
             )
-            trans = (obs_b, act_b, out.reward_b, out.obs_b, done)
+            trans = (obs_b, act_b, out.reward_b, done)
             return new_carry, (trans, stats, ret_sum, done)
 
         carry0 = (
@@ -620,9 +617,9 @@ class DRQNLearner:
         )
         (env_state, hid_b, hid_opp, opp_idx, ep_return, epsilon,
          episodes) = carry
-        obs_t, act_t, rew_t, next_obs_t, done_t = traj
+        obs_t, act_t, rew_t, done_t = traj
         buffer = seq_push_rollout(
-            state.buffer, obs_t, act_t, rew_t, next_obs_t, done_t,
+            state.buffer, obs_t, act_t, rew_t, done_t,
             cfg.trace_length,
         )
         state = state._replace(

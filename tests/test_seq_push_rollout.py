@@ -19,7 +19,6 @@ def random_chunk(T, B, seed):
         jnp.asarray(rng.normal(size=(T, B, 7)).astype(np.float32)),
         jnp.asarray(rng.integers(0, 3, (T, B)).astype(np.int32)),
         jnp.asarray(rng.normal(size=(T, B)).astype(np.float32)),
-        jnp.asarray(rng.normal(size=(T, B, 7)).astype(np.float32)),
         jnp.asarray(rng.random((T, B)) < 0.15),
     )
 
@@ -34,12 +33,12 @@ def assert_buf_equal(a, b):
 
 def test_bulk_equals_stepwise():
     T, B, R = 17, 5, 32
-    obs, act, rew, nobs, done = random_chunk(T, B, 0)
-    bulk = seq_push_rollout(seq_init(B, R), obs, act, rew, nobs, done, TRACE)
+    obs, act, rew, done = random_chunk(T, B, 0)
+    bulk = seq_push_rollout(seq_init(B, R), obs, act, rew, done, TRACE)
     steps = seq_init(B, R)
     for t in range(T):
         steps = seq_push_step(
-            steps, obs[t], act[t], rew[t], nobs[t], done[t], TRACE
+            steps, obs[t], act[t], rew[t], done[t], TRACE
         )
     assert_buf_equal(bulk, steps)
 
@@ -49,11 +48,11 @@ def test_bulk_equals_stepwise_with_wrap_and_carryover():
     buf_a = seq_init(B, R)
     buf_b = seq_init(B, R)
     for chunk in range(4):  # 52 columns into a 16-ring: multiple wraps
-        obs, act, rew, nobs, done = random_chunk(T, B, 10 + chunk)
-        buf_a = seq_push_rollout(buf_a, obs, act, rew, nobs, done, TRACE)
+        obs, act, rew, done = random_chunk(T, B, 10 + chunk)
+        buf_a = seq_push_rollout(buf_a, obs, act, rew, done, TRACE)
         for t in range(T):
             buf_b = seq_push_step(
-                buf_b, obs[t], act[t], rew[t], nobs[t], done[t], TRACE
+                buf_b, obs[t], act[t], rew[t], done[t], TRACE
             )
         assert_buf_equal(buf_a, buf_b)
 
@@ -71,7 +70,7 @@ def test_bulk_admission_counting():
     act = jnp.zeros((T, B), jnp.int32)
     rew = jnp.zeros((T, B))
     buf = seq_push_rollout(
-        seq_init(B, R), obs, act, rew, obs, jnp.asarray(done), TRACE
+        seq_init(B, R), obs, act, rew, jnp.asarray(done), TRACE
     )
     assert int(buf.ep_count) == 2
     np.testing.assert_array_equal(np.asarray(buf.cur_ep_id), [2, 1])
@@ -86,11 +85,11 @@ def test_bulk_equals_stepwise_with_episode_directory():
     buf_a = seq_init(B, R, dir_cap=8)
     buf_b = seq_init(B, R, dir_cap=8)
     for chunk in range(3):
-        obs, act, rew, nobs, done = random_chunk(T, B, 20 + chunk)
-        buf_a = seq_push_rollout(buf_a, obs, act, rew, nobs, done, TRACE)
+        obs, act, rew, done = random_chunk(T, B, 20 + chunk)
+        buf_a = seq_push_rollout(buf_a, obs, act, rew, done, TRACE)
         for t in range(T):
             buf_b = seq_push_step(
-                buf_b, obs[t], act[t], rew[t], nobs[t], done[t], TRACE
+                buf_b, obs[t], act[t], rew[t], done[t], TRACE
             )
         assert_buf_equal(buf_a, buf_b)
     assert int(buf_a.dir_cursor) > 8  # directory ring wrapped at least once

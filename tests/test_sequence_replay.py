@@ -29,7 +29,7 @@ def push_pattern(buf, episode_lens, num_envs=2):
         done = jnp.asarray([done0] + [False] * (num_envs - 1))
         buf = seq_push_step(
             buf, obs, jnp.zeros((num_envs,), jnp.int32),
-            jnp.ones((num_envs,), jnp.float32), obs, done, TRACE,
+            jnp.ones((num_envs,), jnp.float32), done, TRACE,
         )
         t += 1
         remaining -= 1
@@ -78,7 +78,7 @@ def test_inflight_episode_excluded():
         obs = jnp.asarray([[1, t, 0, 0, 0, 0, 0]], jnp.float32)
         buf = seq_push_step(
             buf, obs, jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32),
-            obs, jnp.asarray([False]), TRACE,
+            jnp.asarray([False]), TRACE,
         )
     s = seq_sample(buf, jax.random.PRNGKey(0), 64, TRACE, rejection_rounds=8)
     assert not np.asarray(s.valid).any()
@@ -109,7 +109,7 @@ def test_seam_straddling_window_rejected_for_ring_spanning_episode():
         done = jnp.asarray([t == ring + 5])
         buf = seq_push_step(
             buf, obs, jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32),
-            obs, done, TRACE,
+            done, TRACE,
         )
     s = seq_sample(buf, jax.random.PRNGKey(7), 512, TRACE, rejection_rounds=8)
     valid = np.asarray(s.valid)
