@@ -30,6 +30,14 @@ def load_config(path: Optional[Union[str, Path]] = None) -> ExperimentConfig:
 
 
 def _parse_value(text: str):
+    # YAML-style booleans first: ast.literal_eval only accepts Python's
+    # True/False, so "dqn.use_pallas_update=false" used to fall through
+    # to the TRUTHY STRING "false" and silently leave the flag on
+    low = text.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):
@@ -52,6 +60,12 @@ def _replace_path(node, keys, value):
     if len(keys) == 1:
         if not any(f.name == keys[0] for f in dataclasses.fields(node)):
             raise KeyError(f"unknown config field {keys[0]!r} on {type(node).__name__}")
+        old = getattr(node, keys[0])
+        if isinstance(old, bool) and not isinstance(value, bool):
+            raise ValueError(
+                f"config field {keys[0]!r} is boolean; got {value!r} "
+                "(use true/false)"
+            )
         return dataclasses.replace(node, **{keys[0]: value})
     child = getattr(node, keys[0])
     return dataclasses.replace(node, **{keys[0]: _replace_path(child, keys[1:], value)})

@@ -59,6 +59,25 @@ def test_override_errors():
         apply_overrides(cfg, ["missing_equals"])
 
 
+def test_yaml_style_boolean_overrides():
+    """Lowercase true/false must parse as real booleans. The regression
+    this pins: '=false' used to fall through ast.literal_eval to the
+    TRUTHY string "false" — every committed study that passed
+    train_heads_only=false silently trained heads-only."""
+    cfg = load_config(None)
+    cfg = apply_overrides(cfg, [
+        "dqn.train_heads_only=false",
+        "dqn.use_pallas_update=true",
+        "drqn.episode_uniform_sampling=TRUE",
+    ])
+    assert cfg.dqn.train_heads_only is False
+    assert cfg.dqn.use_pallas_update is True
+    assert cfg.drqn.episode_uniform_sampling is True
+    # and a non-boolean into a boolean field is a clean error (exit-2 path)
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["dqn.use_pallas_update=nope"])
+
+
 def test_to_dict_roundtrip():
     cfg = load_config(None)
     d = to_dict(cfg)
