@@ -10,7 +10,7 @@ python -m pingpong_tpu.cli train --config configs/qnet.yaml \
   --workdir demo_fromscratch --seed 0 \
   dqn.num_envs=512 dqn.rollout_length=64 dqn.updates_per_iteration=512 \
   dqn.train_heads_only=false \
-  dqn.ckpt_dir=demo_fromscratch/checkpoints \
+  dqn.ckpt_dir=checkpoints \
   dqn.selfplay.max_generations=8 \
   dqn.selfplay.episodes_per_generation=2400 \
   dqn.selfplay.eval_episodes=1000 \
