@@ -120,6 +120,57 @@ def test_seam_straddling_window_rejected_for_ring_spanning_episode():
         np.testing.assert_array_equal(np.diff(obs[i, :, 1]), 1)
 
 
+def test_derived_next_obs_matches_shifted_obs():
+    """next_obs is not stored; the sampler must return obs shifted by one
+    for every window position except the final step of an episode-ending
+    window (whose bootstrap term the loss masks by 1-done)."""
+    buf = seq_init(2, 64)
+    buf, _ = push_pattern(buf, [6, 9, 7])
+    s = seq_sample(buf, jax.random.PRNGKey(11), 512, TRACE,
+                   rejection_rounds=8)
+    valid = np.asarray(s.valid)
+    assert valid.any()
+    obs = np.asarray(s.obs)
+    nxt = np.asarray(s.next_obs)
+    done = np.asarray(s.done)
+    for i in np.nonzero(valid)[0]:
+        # steps encode time: next must be exactly one step ahead
+        for j in range(TRACE):
+            if j == TRACE - 1 and done[i, j]:
+                continue  # undefined by contract, masked in the loss
+            assert nxt[i, j, 1] == obs[i, j, 1] + 1, (i, j)
+            assert nxt[i, j, 0] == obs[i, j, 0], (i, j)  # same env
+
+
+def test_mid_episode_window_at_write_frontier_rejected():
+    """A window ending mid-episode exactly at the write frontier has no
+    obs[t0+T] to derive next from — it must be invalid; one ending ON an
+    episode boundary at the frontier needs no next value and stays
+    valid."""
+    # env 0: a single in-flight episode of exactly TRACE+1 steps: the only
+    # full-trace window ends mid-episode at the frontier AND is in-flight
+    buf = seq_init(1, 64)
+    for t in range(TRACE + 1):
+        obs = jnp.asarray([[1, t, 0, 0, 0, 0, 0]], jnp.float32)
+        buf = seq_push_step(
+            buf, obs, jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32),
+            jnp.asarray([False]), TRACE,
+        )
+    s = seq_sample(buf, jax.random.PRNGKey(0), 128, TRACE, rejection_rounds=8)
+    assert not np.asarray(s.valid).any()
+
+    # an episode of exactly TRACE steps ENDING at the frontier: its single
+    # window terminates the episode, so it is valid despite no next value
+    buf2 = seq_init(1, 64)
+    buf2, _ = push_pattern(buf2, [TRACE], num_envs=1)
+    s2 = seq_sample(buf2, jax.random.PRNGKey(0), 128, TRACE,
+                    rejection_rounds=8)
+    v2 = np.asarray(s2.valid)
+    assert v2.any()
+    done2 = np.asarray(s2.done)
+    assert done2[v2, -1].all()
+
+
 def test_sample_determinism():
     buf = seq_init(2, 64)
     buf, _ = push_pattern(buf, [8, 8])
