@@ -28,8 +28,8 @@ run () {
   fi
   timeout 10000 python -m pingpong_tpu.cli train --workdir "$dir" \
     --config configs/qnet.yaml \
-    dqn.init_model_path="$dir/checkpoints/model9-1" \
-    dqn.ckpt_dir="$dir/checkpoints" \
+    dqn.init_model_path=checkpoints/model9-1 \
+    dqn.ckpt_dir=checkpoints \
     dqn.train_heads_only=false \
     dqn.num_envs=512 dqn.rollout_length=64 dqn.updates_per_iteration=256 \
     dqn.memory_size=1048576 dqn.pool_max=12 \

@@ -125,10 +125,18 @@ def pallas_win_rate_balanced(
     )
     wins_top = eps_a - wins_a_opp - draws_a      # B's wins from the top seat
     total = eps_b + eps_a
+    # the streamed episode counts per seat are NOT equal (chunks overshoot
+    # differently), and the env favors the bottom seat — a raw
+    # wins/episodes aggregate would overweight whichever seat streamed
+    # more (measured ~2.6x once) and leak the seat advantage into the
+    # gate. Weight the SEATS equally, as the match-runner
+    # eval_win_rate_balanced does by construction.
+    rate_b = wins_b / max(eps_b, 1)
+    rate_a = wins_top / max(eps_a, 1)
     return (
-        (wins_b + wins_top) / max(total, 1),
-        wins_b / max(eps_b, 1),
-        wins_top / max(eps_a, 1),
+        (rate_b + rate_a) / 2,
+        rate_b,
+        rate_a,
         total,
     )
 
@@ -254,9 +262,12 @@ def rnn_win_rate_balanced(
     )
     wins_top = eps_a - wins_a_opp - draws_a
     total = eps_b + eps_a
+    # equal SEAT weighting — see pallas_win_rate_balanced
+    rate_b = wins_b / max(eps_b, 1)
+    rate_a = wins_top / max(eps_a, 1)
     return (
-        (wins_b + wins_top) / max(total, 1),
-        wins_b / max(eps_b, 1),
-        wins_top / max(eps_a, 1),
+        (rate_b + rate_a) / 2,
+        rate_b,
+        rate_a,
         total,
     )
