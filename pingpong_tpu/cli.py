@@ -162,6 +162,7 @@ def cmd_arena(args) -> int:
         include_bot=not args.no_bot,
         seed=cfg.seed,
         swap_sides=args.swap_sides,
+        save_every=args.save_every,
     )
 
 
@@ -246,6 +247,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-bot", action="store_true")
     p.add_argument("--swap-sides", action="store_true",
                    help="side-balanced: half the games per seating")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="save the DB every N episodes (crash granularity; "
+                        "1 = reference per-episode saves, 0 = per batch)")
     p.set_defaults(fn=cmd_arena)
 
     p = sub.add_parser("view", help="render an episode between two checkpoints")

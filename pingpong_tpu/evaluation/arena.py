@@ -107,13 +107,22 @@ def run_tournament(
     key,
     swap_sides: bool = False,
     batched: bool = True,
+    save_every: int = 0,
 ) -> None:
     """``batched=True`` launches every remaining pairing as a handful of
     stacked device programs (one per policy-family pair) instead of one
     dispatch per pairing — results are bit-identical; the crash-safe DB
     save granularity becomes one save per batch instead of per pair
     (the reference saved per EPISODE, arena.py:310-319; per-pair was
-    already this framework's documented deviation)."""
+    already this framework's documented deviation).
+
+    ``save_every=N`` restores finer crash granularity on the batched
+    path: the plan is split into slices of at most N episodes, each slice
+    runs as its own batched program, and the DB is saved after every
+    slice — at most N games are lost to a crash, and a rerun's
+    incremental match plan (create_match_plan) resumes from the last
+    save. ``save_every=1`` is the reference's per-episode granularity
+    (arena.py:310-319) at one device program per game."""
     entries = _entries_from_db(database)
     jobs = []
     job_pair = []
@@ -128,37 +137,60 @@ def run_tournament(
         for top, bottom, m in seatings:
             if m == 0:
                 continue
+            if batched and save_every > 0:
+                # split so no slice element exceeds the save budget
+                while m > save_every:
+                    jobs.append((top, bottom, save_every))
+                    job_pair.append((a.id, b.id, n))
+                    m -= save_every
             jobs.append((top, bottom, m))
             job_pair.append((a.id, b.id, n))
 
-    if batched and jobs:
-        played = runner.play_pairs_batched(jobs, key)
-    else:
-        played = []
-        for top, bottom, m in jobs:
-            key, k_match = jax.random.split(key)
-            played.append((top, bottom, runner.play(top, bottom, m, k_match)))
-
     wins: Dict = {}
-    for (top, bottom, res), (aid, bid, n) in zip(played, job_pair):
-        sa = np.asarray(res.score_a)
-        sb = np.asarray(res.score_b)
-        now = datetime.now(timezone.utc).isoformat()
-        for g in range(len(sa)):
-            winner = (top.id if sa[g] > sb[g]
-                      else (bottom.id if sb[g] > sa[g] else "draw"))
-            database["match_history"].append({
-                "p1": top.id, "p2": bottom.id, "winner": winner,
-                "p1_score": int(sa[g]), "p2_score": int(sb[g]),
-                "timestamp": now,
-            })
-        w = wins.setdefault((aid, bid), {aid: 0, bid: 0})
-        w[top.id] += int(np.sum(sa > sb))
-        w[bottom.id] += int(np.sum(sb > sa))
-        if not batched:
-            save_database(db_path, database)  # resume point per pair
+
+    def record(played_slice, pair_slice):
+        for (top, bottom, res), (aid, bid, _n) in zip(
+            played_slice, pair_slice
+        ):
+            sa = np.asarray(res.score_a)
+            sb = np.asarray(res.score_b)
+            now = datetime.now(timezone.utc).isoformat()
+            for g in range(len(sa)):
+                winner = (top.id if sa[g] > sb[g]
+                          else (bottom.id if sb[g] > sa[g] else "draw"))
+                database["match_history"].append({
+                    "p1": top.id, "p2": bottom.id, "winner": winner,
+                    "p1_score": int(sa[g]), "p2_score": int(sb[g]),
+                    "timestamp": now,
+                })
+            w = wins.setdefault((aid, bid), {aid: 0, bid: 0})
+            w[top.id] += int(np.sum(sa > sb))
+            w[bottom.id] += int(np.sum(sb > sa))
+
     if batched and jobs:
-        save_database(db_path, database)      # resume point per batch
+        if save_every > 0:
+            # bounded-loss slices: <= save_every episodes per program+save
+            i = 0
+            while i < len(jobs):
+                j, budget = i, save_every
+                while j < len(jobs) and jobs[j][2] <= budget:
+                    budget -= jobs[j][2]
+                    j += 1
+                j = max(j, i + 1)
+                key, k_slice = jax.random.split(key)
+                record(runner.play_pairs_batched(jobs[i:j], k_slice),
+                       job_pair[i:j])
+                save_database(db_path, database)  # resume point per slice
+                i = j
+        else:
+            record(runner.play_pairs_batched(jobs, key), job_pair)
+            save_database(db_path, database)      # resume point per batch
+    else:
+        for (top, bottom, m), pair in zip(jobs, job_pair):
+            key, k_match = jax.random.split(key)
+            record([(top, bottom, runner.play(top, bottom, m, k_match))],
+                   [pair])
+            save_database(db_path, database)      # resume point per pair
     for (aid, bid, n) in dict.fromkeys(job_pair):
         w = wins[(aid, bid)]
         print(f"[arena] {aid} vs {bid}: +{n} games ({w[aid]}-{w[bid]})"
@@ -227,6 +259,7 @@ def run_arena(
     candidates: Optional[List[Dict]] = None,
     bot_tolerance: float = 0.02,   # ref arena.py:213
     swap_sides: bool = False,
+    save_every: int = 0,
 ) -> int:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -252,7 +285,7 @@ def run_arena(
     env_params = env_params_from_config(cfg.env)
     runner = MatchRunner(env_params, bot_tolerance=bot_tolerance)
     run_tournament(runner, database, db_path, plan, jax.random.PRNGKey(seed),
-                   swap_sides=swap_sides)
+                   swap_sides=swap_sides, save_every=save_every)
 
     summary = generate_summary_report(database)
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -169,11 +169,18 @@ class DQNLearner:
             cfg.use_pallas_update
             and supports_pallas_dqn_update(cfg)
             and jax.default_backend() == "tpu"
-            # multi-chip: the PER plane is sharded over 'data' and the
-            # sampler needs the GLOBAL distribution — the XLA scan path
-            # (GSPMD-partitionable) runs there instead
-            and (mesh is None or mesh.shape[data_axis] == 1)
         )
+        # Multi-chip learner design: REPLICATED. The PER sampler needs the
+        # global priority distribution, and the whole update block is a
+        # tiny, latency-bound serial chain (~30KB of parameters, 66us per
+        # update on v5e) — sharding it would trade one all-gather for K
+        # per-update collectives on that chain. Instead the replay buffer
+        # replicates (shard_state), the rollout chunk is all-gathered into
+        # it once per iteration (GSPMD inserts the collective at the
+        # per_push write), and every chip runs the IDENTICAL fused update
+        # block — bit-equal to the single-chip program, zero collectives on
+        # the serial chain. Actors (env batch, rollout kernel) stay sharded
+        # over 'data'. See docs/PODRUN.md for the cost model.
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
 
@@ -187,11 +194,14 @@ class DQNLearner:
         batched = NamedSharding(self.mesh, P(self.data_axis))
         repl = NamedSharding(self.mesh, P())
         ndev = self.mesh.shape[self.data_axis]
+        # fused-update path: the learner (replay buffer included) is
+        # REPLICATED across chips — see the design note in __init__
+        buf_sh = repl if self._pallas_update_ok else batched
 
         def put_if_divisible(x):
             # small summary arrays (e.g. a single-chunk PER summary) cannot
             # split over the axis; replicate them instead
-            sh = batched if x.shape and x.shape[0] % ndev == 0 else repl
+            sh = buf_sh if x.shape and x.shape[0] % ndev == 0 else repl
             return jax.device_put(x, sh)
 
         def put_batched(tree):
@@ -210,9 +220,9 @@ class DQNLearner:
             target_b=put_repl(state.target_b),
             opt_state=put_repl(state.opt_state),
             buffer=PERBuffer(
-                data=jax.device_put(state.buffer.data, batched),
-                prios=jax.device_put(state.buffer.prios, batched),
-                p_alpha=jax.device_put(state.buffer.p_alpha, batched),
+                data=jax.device_put(state.buffer.data, buf_sh),
+                prios=jax.device_put(state.buffer.prios, buf_sh),
+                p_alpha=jax.device_put(state.buffer.p_alpha, buf_sh),
                 chunk_sums=put_if_divisible(state.buffer.chunk_sums),
                 pos=jax.device_put(state.buffer.pos, repl),
                 size=jax.device_put(state.buffer.size, repl),
@@ -594,9 +604,34 @@ class DQNLearner:
         cs2 = buf.chunk_sums.reshape(nc // 128, 128)
         ready = buf.size >= bs
 
+        def kernel_block(*args):
+            return pallas_dqn_update_block(
+                *args,
+                K=K, bs=bs, lr=cfg.lr, gamma=cfg.gamma,
+                interval=cfg.target_update_interval,
+                tau=cfg.target_tau, alpha=cfg.per_alpha,
+                per_eps=cfg.per_eps, beta_start=cfg.per_beta_start,
+                beta_frames=cfg.per_beta_frames,
+                heads_only=cfg.train_heads_only,
+                interpret=self._pallas_interpret,
+            )
+
+        if self.mesh is not None and self.mesh.shape[self.data_axis] > 1:
+            # replicated-learner SPMD: every chip runs the identical fused
+            # block on identical (replicated) inputs — a Mosaic custom
+            # call is opaque to GSPMD, so the replication contract is made
+            # explicit with fully-replicated shard_map specs (any operand
+            # still sharded at this point is all-gathered at the boundary)
+            from jax.sharding import PartitionSpec as P
+
+            kernel_block = jax.shard_map(
+                kernel_block, mesh=self.mesh, in_specs=P(), out_specs=P(),
+                check_vma=False,
+            )
+
         def run(_):
             (pa3, cs3, o2, t2, m2, v2, newp, idx, losses, ts2) = (
-                pallas_dqn_update_block(
+                kernel_block(
                     state.train_steps, count, state.frame_idx, buf.size,
                     u_all,
                     pack_dqn_noise(noise_all),
@@ -606,13 +641,6 @@ class DQNLearner:
                     pack_dqn_params(unravel(mu_flat)),
                     pack_dqn_params(unravel(nu_flat)),
                     buf.data,
-                    K=K, bs=bs, lr=cfg.lr, gamma=cfg.gamma,
-                    interval=cfg.target_update_interval,
-                    tau=cfg.target_tau, alpha=cfg.per_alpha,
-                    per_eps=cfg.per_eps, beta_start=cfg.per_beta_start,
-                    beta_frames=cfg.per_beta_frames,
-                    heads_only=cfg.train_heads_only,
-                    interpret=self._pallas_interpret,
                 )
             )
             # replay the K priority streams into the raw-priority array:

@@ -149,13 +149,16 @@ class DRQNLearner:
             cfg.use_pallas_update
             and supports_pallas_update(cfg)
             and jax.default_backend() == "tpu"
-            # multi-chip: the sequence ring is sharded over 'data' and
-            # seq_sample draws from the GLOBAL ring — feeding an opaque
-            # Mosaic custom call would force XLA to all-gather the whole
-            # buffer every update block; the GSPMD-partitionable XLA scan
-            # path runs there instead (same rule as train/dqn.py)
-            and (mesh is None or mesh.shape[data_axis] == 1)
         )
+        # Multi-chip learner design: REPLICATED (same rationale as
+        # train/dqn.py): the sequence ring replicates across chips, the
+        # rollout chunk is all-gathered into it once per iteration, the
+        # global window sample and the fused update block then run
+        # identically on every chip — bit-equal to the single-chip
+        # program with zero collectives on the serial update chain.
+        # (All-gathering the pushed CHUNK is ~100x cheaper than letting
+        # GSPMD gather the whole ring at each update-block sample.)
+        self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
 
     def shard_state(self, state: "DRQNTrainState") -> "DRQNTrainState":
@@ -173,21 +176,30 @@ class DRQNLearner:
             )
 
         d = self.data_axis
+        # fused-update path: the learner (sequence ring included) is
+        # REPLICATED across chips — see the design note in __init__
+        rb = P() if self._pallas_update_ok else P(d)
         return state._replace(
             key=put(state.key, P()),
             params_b=put(state.params_b, P()),
             target_b=put(state.target_b, P()),
             opt_state=put(state.opt_state, P()),
             buffer=state.buffer._replace(
-                obs=put(state.buffer.obs, P(d)),
-                action=put(state.buffer.action, P(d)),
-                reward=put(state.buffer.reward, P(d)),
-                done=put(state.buffer.done, P(d)),
-                ep_id=put(state.buffer.ep_id, P(d)),
+                obs=put(state.buffer.obs, rb),
+                action=put(state.buffer.action, rb),
+                reward=put(state.buffer.reward, rb),
+                done=put(state.buffer.done, rb),
+                ep_id=put(state.buffer.ep_id, rb),
                 cursor=put(state.buffer.cursor, P()),
                 ep_count=put(state.buffer.ep_count, P()),
-                cur_ep_id=put(state.buffer.cur_ep_id, P(d)),
-                cur_ep_len=put(state.buffer.cur_ep_len, P(d)),
+                cur_ep_id=put(state.buffer.cur_ep_id, rb),
+                cur_ep_len=put(state.buffer.cur_ep_len, rb),
+                # episode directory: global bookkeeping, replicated
+                dir_env=put(state.buffer.dir_env, P()),
+                dir_start=put(state.buffer.dir_start, P()),
+                dir_len=put(state.buffer.dir_len, P()),
+                dir_id=put(state.buffer.dir_id, P()),
+                dir_cursor=put(state.buffer.dir_cursor, P()),
             ),
             env_state=put(state.env_state, P(d)),
             hid_b=Hidden(
@@ -702,8 +714,28 @@ class DRQNLearner:
         gate = cfg.batch_size * cfg.min_episodes_for_training_start
         ready = state.buffer.ep_count > gate
 
+        def kernel_block(*args):
+            return pallas_drqn_update_block(
+                *args,
+                K=K, bs=bs, T=cfg.trace_length,
+                lr=cfg.lr, clip=cfg.grad_clip_norm, gamma=cfg.gamma,
+                interval=cfg.target_update_interval, tau=cfg.target_tau,
+                interpret=self._pallas_interpret,
+            )
+
+        if self.mesh is not None and self.mesh.shape[self.data_axis] > 1:
+            # replicated-learner SPMD (see train/dqn.py::_update_pallas):
+            # identical kernel on identical replicated inputs, made
+            # explicit to GSPMD with fully-replicated shard_map specs
+            from jax.sharding import PartitionSpec as P
+
+            kernel_block = jax.shard_map(
+                kernel_block, mesh=self.mesh, in_specs=P(), out_specs=P(),
+                check_vma=False,
+            )
+
         def run(_):
-            o2, t2, m2, v2, losses, ts2 = pallas_drqn_update_block(
+            o2, t2, m2, v2, losses, ts2 = kernel_block(
                 state.train_steps, count,
                 sample.obs, sample.next_obs,
                 sample.action[:, :, -1], sample.reward[:, :, -1],
@@ -713,9 +745,6 @@ class DRQNLearner:
                 pack_upd_params(state.target_b),
                 pack_upd_params(unravel(mu_flat)),
                 pack_upd_params(unravel(nu_flat)),
-                K=K, bs=bs, T=cfg.trace_length,
-                lr=cfg.lr, clip=cfg.grad_clip_norm, gamma=cfg.gamma,
-                interval=cfg.target_update_interval, tau=cfg.target_tau,
             )
             tmpl = state.params_b
             return (

@@ -69,3 +69,49 @@ def test_sharded_drqn_matches_unsharded_numerics():
         jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_shard)
     ):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_multichip_fused_drqn_update_matches_single_chip():
+    """Fused DRQN update block on a >1-device mesh (replicated-learner
+    SPMD, train/drqn.py design note): sequence ring replicates, the
+    global window sample and kernel run identically on every chip
+    (VERDICT r3 item 1)."""
+    from pingpong_tpu.ops.drqn_update import supports_pallas_update
+
+    cfg = DRQNConfig(
+        feature_dim=32, lstm_hidden_dim=16, head_hidden_dim=16,
+        trace_length=4, num_envs=16, rollout_length=16,
+        updates_per_iteration=2, batch_size=64,
+        min_episodes_for_training_start=0, ring_len=256, pool_max=2,
+        target_update_interval=8, max_episode_steps=100,
+        pallas_tile_rows=2,
+    )
+    assert supports_pallas_update(cfg)
+    params0 = None
+
+    def run(mesh):
+        learner = DRQNLearner(ENV, cfg, mesh=mesh)
+        learner._pallas_update_ok = True
+        learner._pallas_interpret = True
+        nonlocal params0
+        if params0 is None:
+            params0 = learner.init_params(jax.random.PRNGKey(1))
+        state = learner.init_state(jax.random.PRNGKey(0), params0)
+        if mesh is not None:
+            state = learner.shard_state(state)
+            assert state.buffer.obs.sharding.spec == P()   # replicated ring
+            assert state.env_state.ball_x.sharding.spec == P("data")
+        opp, n = stack_rnn_opponents(params0, [])
+        for _ in range(3):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        return jax.device_get(state), jax.device_get(m)
+
+    s_single, m_single = run(None)
+    s_shard, m_shard = run(create_mesh(MeshConfig()))
+    assert int(s_shard.train_steps) == int(s_single.train_steps) > 0
+    assert int(m_single.episodes) == int(m_shard.episodes)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_single.params_b)),
+        jax.tree_util.tree_leaves(jax.device_get(s_shard.params_b)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

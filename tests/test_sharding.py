@@ -96,3 +96,59 @@ def test_sharded_matches_unsharded_numerics():
         jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_shard)
     ):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_multichip_fused_update_matches_single_chip():
+    """Fused Pallas PER+SGD block on a >1-device mesh (replicated-learner
+    SPMD, train/dqn.py design note): the 8-device program must match the
+    single-device fused program — the replay buffer replicates, the
+    rollout chunk all-gathers into it, and every chip runs the identical
+    update kernel (VERDICT r3 item 1)."""
+    from pingpong_tpu.ops.dqn_update import supports_pallas_dqn_update
+
+    cfg = DQNConfig(
+        num_envs=16,
+        rollout_length=8,            # m = 128 pushed rows per iteration
+        updates_per_iteration=2,
+        batch_size=128,
+        memory_size=16384,           # smallest block-mode capacity (128^2)
+        pool_max=2,
+        target_update_interval=4,
+        pallas_tile_rows=2,          # match tiling across mesh sizes
+    )
+    assert supports_pallas_dqn_update(cfg)
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    opp, n = stack_opponents(params_a, [], cfg.pool_max)
+
+    def run(mesh):
+        learner = DQNLearner(ENV, cfg, mesh=mesh)
+        # force the TPU-only fused path through the Pallas interpreter
+        learner._pallas_update_ok = True
+        learner._pallas_interpret = True
+        state = learner.init_state(jax.random.PRNGKey(0))
+        if mesh is not None:
+            state = learner.shard_state(state)
+            # the learner replicates on the fused path
+            assert state.buffer.data.sharding.spec == P()
+            assert state.buffer.p_alpha.sharding.spec == P()
+            # the actors stay sharded
+            assert state.env_state.ball_x.sharding.spec == P("data")
+        assert state.buffer.is_block
+        for _ in range(3):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        return jax.device_get(state), jax.device_get(m)
+
+    s_single, m_single = run(None)
+    s_shard, m_shard = run(create_mesh(MeshConfig()))
+    assert int(s_shard.train_steps) == int(s_single.train_steps) > 0
+    assert int(m_shard.updates_run) > 0
+    assert int(m_single.episodes) == int(m_shard.episodes)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_single.params_b)),
+        jax.tree_util.tree_leaves(jax.device_get(s_shard.params_b)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_single.buffer.p_alpha),
+        np.asarray(s_shard.buffer.p_alpha), rtol=2e-5, atol=2e-6,
+    )

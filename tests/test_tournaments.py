@@ -130,6 +130,77 @@ def test_arena_resumable(tmp_path):
     assert set(rec) == {"p1", "p2", "winner", "p1_score", "p2_score", "timestamp"}
 
 
+def test_arena_save_every_kill_and_resume(tmp_path):
+    """``save_every`` bounds crash loss: kill the runner mid-tournament,
+    check the finished slices survived on disk, rerun to completion
+    (crash granularity of ref arena.py:310-319 at save_every=1)."""
+    from pingpong_tpu.env.pong import env_params_from_config
+    from pingpong_tpu.evaluation.arena import (
+        register_models,
+        run_tournament,
+        save_database,
+    )
+    from pingpong_tpu.evaluation.registry import MatchRunner, discover_models
+
+    d = make_ckpts(tmp_path)
+    db = tmp_path / "arena_database.json"
+    cfg = small_cfg()
+    database = load_database(db)
+    found = discover_models([d], include_bot=False)
+    register_models(database, [
+        {"id": e.id, "type": e.type_name, "path": e.path} for e in found
+    ])
+    save_database(db, database)
+    plan = create_match_plan(database, 4)       # 3 pairs x 4 eps = 12 games
+
+    runner = MatchRunner(env_params_from_config(cfg.env))
+    real_play = runner.play_pairs_batched
+    calls = {"n": 0}
+
+    def dying_play(jobs, key):
+        if calls["n"] >= 2:                      # die on the third slice
+            raise KeyboardInterrupt("simulated crash")
+        calls["n"] += 1
+        return real_play(jobs, key)
+
+    runner.play_pairs_batched = dying_play
+    try:
+        run_tournament(runner, database, db, plan, jax.random.PRNGKey(0),
+                       save_every=2)
+    except KeyboardInterrupt:
+        pass
+    on_disk = load_database(db)
+    # two slices of <= 2 episodes each survived the crash
+    assert len(on_disk["match_history"]) == 4
+
+    # resume: a fresh plan schedules exactly the remainder, run completes
+    runner.play_pairs_batched = real_play
+    plan = create_match_plan(on_disk, 4)
+    assert sum(p["episodes_to_run"] for p in plan) == 8
+    run_tournament(runner, on_disk, db, plan, jax.random.PRNGKey(1),
+                   save_every=2)
+    final = load_database(db)
+    assert len(final["match_history"]) == 12
+    assert create_match_plan(final, 4) == []
+
+    # save_every=1 == the reference's per-episode granularity: every
+    # program plays exactly one game
+    ones = tmp_path / "db_ones.json"
+    db1 = load_database(ones)
+    register_models(db1, [
+        {"id": e.id, "type": e.type_name, "path": e.path} for e in found
+    ])
+    save_database(ones, db1)
+    seen = []
+    runner.play_pairs_batched = lambda jobs, key: (
+        seen.extend(m for _, _, m in jobs) or real_play(jobs, key)
+    )
+    run_tournament(runner, db1, ones, create_match_plan(db1, 2),
+                   jax.random.PRNGKey(2), save_every=1)
+    assert seen == [1] * 6
+    assert len(load_database(ones)["match_history"]) == 6
+
+
 def test_arena_registers_new_models_incrementally(tmp_path):
     d = make_ckpts(tmp_path)
     db = tmp_path / "db.json"
