@@ -150,6 +150,20 @@ class DQNConfig:
     pallas_member_groups: int = 2   # lane groups per tile for the masked
                                     # opponent pass (pool tax ~ span/G;
                                     # 1 = whole-tile member loop)
+    # Pool-opponent binding policy on the fused rollout path:
+    #   "bucketed" (default) — envs are statically partitioned into
+    #     contiguous lane buckets sized by the opponent probabilities
+    #     ((1-ratio) of envs vs A, the rest split evenly over the pool);
+    #     an env re-binds to its bucket's member when its episode ends.
+    #     Sort-free: no per-chunk argsort/gather, and every kernel tile
+    #     spans <= 2 members regardless of pool size. The per-episode
+    #     opponent MARGINAL equals the reference's draw exactly
+    #     (train_iterative.py:235-236) — stratified rather than iid
+    #     (each env's successive episodes face the same member within a
+    #     generation; the stack re-randomizes every generation).
+    #   "sorted" — iid per-episode draws (the reference's exact joint
+    #     distribution); envs are argsorted by bound member each chunk.
+    opponent_binding: str = "bucketed"
     num_envs: int = 4096            # lockstep env batch, sharded over 'data'
     rollout_length: int = 64        # env steps per jitted iteration
     updates_per_iteration: int = 64 # SGD steps per iteration; ref does 1 SGD
@@ -233,6 +247,12 @@ class DRQNConfig:
                                     # on TPU; capped at num_envs)
     pallas_steps_per_cell: int = 8  # rollout grid-kernel inner unroll
                                     # (multiple of 8; divides rollout_length)
+    # Pool-opponent binding on the fused rollout path ("bucketed" |
+    # "sorted") — see DQNConfig.opponent_binding. For the recurrent
+    # trainer "bucketed" additionally removes the canonical-order
+    # un-permute of the whole transition chunk (the sequence ring is
+    # per-env), which the sorted path pays every iteration.
+    opponent_binding: str = "bucketed"
     num_envs: int = 1024
     rollout_length: int = 128
     updates_per_iteration: int = 32

@@ -132,18 +132,33 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--per-device-envs", type=int, default=4096)
     ap.add_argument("--rollout-length", type=int, default=128)
+    ap.add_argument("--updates", type=int, default=64,
+                    help="SGD updates per iteration")
+    ap.add_argument("--n1", type=int, default=5)
+    ap.add_argument("--n2", type=int, default=15,
+                    help="slope-timing window (see bench.py discipline)")
     ap.add_argument(
         "--devices", type=str, default=None,
         help="comma-separated ladder (default: 1,2,4,...,N_visible)",
     )
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize() before backend "
+             "init (one process per host; see docs/PODRUN.md)",
+    )
     args = ap.parse_args(argv)
+    if args.distributed:
+        from pingpong_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
     n_vis = len(jax.devices())
     if args.devices:
         ladder = [int(x) for x in args.devices.split(",")]
     else:
         ladder = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_vis]
     rows = run_ladder(ladder, args.per_device_envs,
-                      rollout_length=args.rollout_length)
+                      rollout_length=args.rollout_length,
+                      updates=args.updates, n1=args.n1, n2=args.n2)
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "value": rows[-1]["scaling_efficiency"],

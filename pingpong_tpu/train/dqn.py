@@ -122,6 +122,21 @@ def trainable_mask(params: QNetParams, heads_only: bool) -> QNetParams:
     )
 
 
+def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array) -> Array:
+    """Deterministic contiguous bucket assignment for
+    ``opponent_binding="bucketed"``: the first ``round((1-ratio)*B)`` envs
+    bind to frozen A (slot 0), the rest split evenly (within one env) over
+    the ``pool_size`` members. Matches the reference's per-episode
+    opponent MARGINAL (train_iterative.py:235-236) exactly, stratified
+    instead of iid — and is nondecreasing in env index, so kernel tiles
+    span <= 2 members with no argsort."""
+    idx = jnp.arange(num_envs, dtype=jnp.int32)
+    boundary = int(round((1.0 - ratio) * num_envs))
+    span = max(num_envs - boundary, 1)
+    m = ((idx - boundary) * pool_size) // span
+    return jnp.where((idx < boundary) | (pool_size == 0), 0, m + 1)
+
+
 def stack_opponents(
     params_a: QNetParams,
     pool: Sequence[QNetParams],
@@ -335,10 +350,13 @@ class DQNLearner:
           an env whose episode ends mid-chunk starts its next episode vs
           the same member for the rest of the chunk (<= rollout_length
           steps). The per-episode marginal opponent distribution is
-          unchanged (each re-bind draws iid from the pool rule); in
-          exchange, envs can be SORTED by bound member every chunk, so
-          each kernel tile spans a ~1-2 member range and opponent compute
-          stops scaling with pool size (VERDICT round-1 item)."""
+          unchanged; re-binding follows ``cfg.opponent_binding`` —
+          "bucketed" (default, sort-free fixed lane buckets, exact
+          stratified marginal) or "sorted" (iid draws + per-chunk
+          argsort). Either way each kernel tile spans a ~1-2 member
+          range, so opponent compute stops scaling with pool size
+          (VERDICT round-1 item; bucketed kills the argsort/gather tax,
+          VERDICT round-3 item 3)."""
         from pingpong_tpu.ops.actor_rollout import (
             pack_qnet,
             pallas_actor_rollout,
@@ -349,32 +367,43 @@ class DQNLearner:
         seed = jax.random.randint(k_seed, (), 0, jnp.int32(2**31 - 1))
 
         # chunk-boundary opponent re-bind for envs that finished >= 1
-        # episode last chunk (ref binds per episode, train_iterative:235)
-        use_pool = (
-            jax.random.uniform(k_gate, (cfg.num_envs,))
-            < cfg.selfplay.opponent_pool_ratio
-        ) & (pool_size > 0)
-        pick = jax.random.randint(
-            k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
-        ).astype(jnp.int32)
-        opp_idx = jnp.where(
-            state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
-        )
-        # sort envs by bound member so kernel tiles span short ranges.
-        # A single-slot stack (empty pool) binds every env to slot 0 — the
-        # stable sort is the identity; skip it statically (n_slots is a
-        # static shape), saving the argsort + state gathers
+        # episode last chunk (ref binds per episode, train_iterative:235).
+        # A single-slot stack (empty pool) binds every env to slot 0 —
+        # skip all binding work statically (n_slots is a static shape).
         n_slots = jax.tree_util.tree_leaves(opp_stack)[0].shape[0]
-        if n_slots > 1:
+        if n_slots == 1:
+            opp_idx = state.opp_idx
+            env_state = state.env_state
+            ep_return = state.ep_return
+        elif cfg.opponent_binding == "bucketed":
+            # sort-free: envs re-bind into fixed contiguous buckets (see
+            # bucket_opp_idx) — no argsort, no env-state gathers, and
+            # every kernel tile spans <= 2 members at any pool size
+            target = bucket_opp_idx(
+                cfg.num_envs, cfg.selfplay.opponent_pool_ratio, pool_size
+            )
+            opp_idx = jnp.where(state.ended, target, state.opp_idx)
+            env_state = state.env_state
+            ep_return = state.ep_return
+        else:
+            # "sorted": iid per-episode draws, envs argsorted by bound
+            # member so kernel tiles span short ranges
+            use_pool = (
+                jax.random.uniform(k_gate, (cfg.num_envs,))
+                < cfg.selfplay.opponent_pool_ratio
+            ) & (pool_size > 0)
+            pick = jax.random.randint(
+                k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
+            ).astype(jnp.int32)
+            opp_idx = jnp.where(
+                state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
+            )
             perm = jnp.argsort(opp_idx)
             opp_idx = opp_idx[perm]
             env_state = jax.tree_util.tree_map(
                 lambda x: x[perm], state.env_state
             )
             ep_return = state.ep_return[perm]
-        else:
-            env_state = state.env_state
-            ep_return = state.ep_return
 
         # Multi-chip: a Mosaic kernel is an opaque custom-call GSPMD
         # cannot partition (on a real pod it would all-gather and run the

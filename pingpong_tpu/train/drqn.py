@@ -324,11 +324,13 @@ class DRQNLearner:
         notes mirror train/dqn.py::_rollout_pallas: epsilon decays once
         per chunk, opponents re-bind at chunk boundaries (with the bound
         opponent stream zero-reset — a freshly bound member starts with
-        fresh memory), and envs are SORTED by bound member per chunk so
-        each kernel tile spans a ~1-2 member range. Unlike the DQN path
-        the transitions are UN-permuted back to canonical env order before
-        the ring-buffer push — the sequence ring is per-env and sorting
-        would otherwise splice different envs' episodes into one row."""
+        fresh memory), and binding follows ``cfg.opponent_binding``:
+        "bucketed" (default) re-binds ended envs into fixed contiguous
+        lane buckets — sort-free, envs never move; "sorted" draws iid and
+        argsorts envs by member per chunk, then UN-permutes transitions
+        back to canonical env order before the ring push (the sequence
+        ring is per-env; sorting would otherwise splice different envs'
+        episodes into one row)."""
         from pingpong_tpu.ops.recurrent_rollout import (
             pack_qnet_rnn,
             pack_rnn_sigma,
@@ -340,26 +342,36 @@ class DRQNLearner:
         seed = jax.random.randint(k_seed, (), 0, jnp.int32(2**31 - 1))
 
         # chunk-boundary opponent re-bind for envs that finished >= 1
-        # episode last chunk (ref binds per episode, :735-737)
-        use_pool = (
-            jax.random.uniform(k_gate, (cfg.num_envs,))
-            < cfg.selfplay.opponent_pool_ratio
-        ) & (pool_size > 0)
-        pick = jax.random.randint(
-            k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
-        ).astype(jnp.int32)
-        opp_idx = jnp.where(
-            state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
-        )
-        # sort envs by bound member so kernel tiles span short ranges;
-        # keep the inverse to restore canonical env order afterwards.
+        # episode last chunk (ref binds per episode, :735-737).
         # With a single opponent slot (empty pool — e.g. every gen-1 try
-        # and the headline bench) opp_idx is all zeros and the stable sort
-        # is the identity: skip it STATICALLY (n_slots is a static shape)
-        # — the permute/unpermute gathers of env state, hidden blocks and
-        # the (T, B, ...) transition arrays are ~40% of rollout wall-clock
+        # and the headline bench) opp_idx is all zeros: skip all binding
+        # work STATICALLY (n_slots is a static shape). "bucketed" binding
+        # (default) is likewise sort-free; only "sorted" pays the
+        # permute/unpermute gathers of env state, hidden blocks and the
+        # (T, B, ...) transition arrays (~40% of rollout wall-clock).
         n_slots = jax.tree_util.tree_leaves(opp_stack)[0].shape[0]
-        sort_envs = n_slots > 1
+        sort_envs = False
+        if n_slots == 1:
+            opp_idx = state.opp_idx
+        elif cfg.opponent_binding == "bucketed":
+            from pingpong_tpu.train.dqn import bucket_opp_idx
+
+            target = bucket_opp_idx(
+                cfg.num_envs, cfg.selfplay.opponent_pool_ratio, pool_size
+            )
+            opp_idx = jnp.where(state.ended, target, state.opp_idx)
+        else:
+            use_pool = (
+                jax.random.uniform(k_gate, (cfg.num_envs,))
+                < cfg.selfplay.opponent_pool_ratio
+            ) & (pool_size > 0)
+            pick = jax.random.randint(
+                k_pick, (cfg.num_envs,), 0, jnp.maximum(pool_size, 1)
+            ).astype(jnp.int32)
+            opp_idx = jnp.where(
+                state.ended, jnp.where(use_pool, pick + 1, 0), state.opp_idx
+            )
+            sort_envs = True
         if sort_envs:
             perm = jnp.argsort(opp_idx)
             inv = jnp.argsort(perm)

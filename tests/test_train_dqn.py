@@ -135,3 +135,49 @@ def test_reset_learner():
     assert int(state.buffer.size) == 0
     assert float(state.epsilon) == 1.0
     assert int(state.train_steps) == 0
+
+
+def test_bucket_binding_proportions():
+    """bucket_opp_idx matches the reference's per-episode opponent
+    marginal (train_iterative.py:235-236) exactly, stratified."""
+    from pingpong_tpu.train.dqn import bucket_opp_idx
+
+    idx = np.asarray(bucket_opp_idx(1000, 0.35, jnp.int32(4)))
+    counts = np.bincount(idx, minlength=5)
+    assert counts[0] == 650                      # (1 - ratio) * B vs A
+    assert counts[1:].sum() == 350               # ratio * B vs pool
+    assert counts[1:].max() - counts[1:].min() <= 1   # even member split
+    assert (np.diff(idx) >= 0).all()             # contiguous buckets
+    # empty pool -> everyone vs A (reference: pool draw needs a pool)
+    assert (np.asarray(bucket_opp_idx(64, 0.5, jnp.int32(0))) == 0).all()
+    # ratio 1.0 -> nobody vs A
+    assert (np.asarray(bucket_opp_idx(64, 1.0, jnp.int32(2))) > 0).all()
+
+
+def test_bucketed_binding_mixes_opponents():
+    """Default (bucketed) binding on the fused rollout path plays both
+    frozen A and pool members, without ever permuting the env batch."""
+    cfg = small_cfg(
+        num_envs=64, rollout_length=64,
+        selfplay=SelfPlayConfig(opponent_pool_ratio=0.5),
+    )
+    assert cfg.opponent_binding == "bucketed"
+    learner = DQNLearner(EnvConfig(max_episode_steps=64), cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    params_a = qnet_init(jax.random.PRNGKey(1))
+    pool = [qnet_init(jax.random.PRNGKey(2)), qnet_init(jax.random.PRNGKey(3))]
+    opp, n = stack_opponents(params_a, pool, cfg.pool_max)
+    games_a = games_p = 0
+    for _ in range(4):
+        state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        games_a += int(m.games_vs_a)
+        games_p += int(m.games_vs_pool)
+    assert games_a > 0 and games_p > 0
+    # once every env has finished an episode, bindings sit exactly on the
+    # bucket layout: nondecreasing in env index
+    oi = np.asarray(state.opp_idx)
+    from pingpong_tpu.train.dqn import bucket_opp_idx
+
+    target = np.asarray(bucket_opp_idx(64, 0.5, jnp.int32(n)))
+    ended_all = np.asarray(state.ended)
+    assert (oi[ended_all] == target[ended_all]).all()
