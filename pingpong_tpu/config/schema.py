@@ -78,6 +78,15 @@ class SelfPlayConfig:
     # bottom seat (the spin/mirror quirk, tests/test_side_asymmetry.py).
     # False = reference-parity single-seat gates.
     swap_sides_eval: bool = False
+    # Reference stale-noise quirk (train_iterative.py:86-104): modelA is
+    # left in train mode, so frozen A plays the WHOLE generation with the
+    # one noise draw its checkpoint carried. True reproduces that: one
+    # noise draw per generation is folded into A's noisy heads
+    # (models/qnet.py::qnet_fold_noise) for training rollouts and gate
+    # evals; the promoted checkpoint stays clean. False (default) = the
+    # NoisyNet-standard mu-greedy frozen policy. Quantified in
+    # demo_fidelity/ (QNet family only).
+    frozen_a_stale_noise: bool = False
 
 
 @dataclass

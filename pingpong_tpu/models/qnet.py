@@ -89,3 +89,80 @@ def qnet_apply(
 def qnet_greedy_action(params: QNetParams, obs: Array) -> Array:
     """Eval-mode argmax action (ref eval_vs_model, train_iterative.py:171-181)."""
     return jnp.argmax(qnet_apply(params, obs), axis=-1).astype(jnp.int32)
+
+
+def qnet_fold_noise(params: QNetParams, noise: QNetNoise) -> QNetParams:
+    """Fold one factorized-noise draw into the noisy heads:
+    ``mu' = mu + sigma * eps``, sigmas zeroed.
+
+    Models the reference's stale-noise frozen A: ``train_iterative.py``
+    leaves modelA in train mode, so A plays with whatever noise buffers
+    its checkpoint carried — FIXED for the whole generation (only B's
+    noise is re-sampled per step, :124-130). A mu-forward of the folded
+    params == a train-mode forward of the originals under that one draw,
+    so the quirk costs nothing in-kernel (``selfplay.frozen_a_stale_noise``)."""
+
+    def fold(p: NoisyParams, n: NoisyNoise) -> NoisyParams:
+        return NoisyParams(
+            w_mu=p.w_mu + p.w_sigma * n.eps_w,
+            w_sigma=jnp.zeros_like(p.w_sigma),
+            b_mu=p.b_mu + p.b_sigma * n.eps_b,
+            b_sigma=jnp.zeros_like(p.b_sigma),
+        )
+
+    return params._replace(
+        fc_v=fold(params.fc_v, noise.v),
+        fc_a=fold(params.fc_a, noise.a),
+    )
+
+
+def bot_qnet_params(
+    tolerance: float = 0.02,
+    obs_dim: int = OBS_DIM,
+    hidden: int = HIDDEN,
+) -> QNetParams:
+    """The HardcodedBallFollower bot expressed EXACTLY as QNet weights.
+
+    Lets the baseline bot (ref arena.py:199-219) join anything built for
+    QNet parameter stacks — training opponent pools, promotion-gate
+    pools, the fused eval kernels — with zero special-casing. With
+    ``d = my_paddle_x - ball_x`` the construction is::
+
+        feat1: h0 = relu(d), h1 = relu(-d)        (so h0 - h1 == d)
+        feat2: identity pass-through of h0, h1
+        fc_A (mu):  A = [d, tolerance, -d]        (all sigmas zero)
+
+    ``argmax A`` = move left iff ``d > tolerance``, right iff
+    ``-d > tolerance``, else stay — exactly
+    ``models/policy.py::ball_follower_action``, including the dead zone
+    (boundary ties `d == ±tolerance` resolve to the move, a
+    measure-zero deviation). All noise sigmas are zero, so the policy is
+    identical in train mode (NoisyNet noise multiplies into nothing) and
+    eval mode.
+    """
+    z = jnp.zeros
+    w1 = z((obs_dim, hidden), jnp.float32)
+    w1 = w1.at[4, 0].set(1.0).at[0, 0].set(-1.0)     # h0 = relu(my_x - ball_x)
+    w1 = w1.at[4, 1].set(-1.0).at[0, 1].set(1.0)     # h1 = relu(ball_x - my_x)
+    w2 = z((hidden, hidden), jnp.float32)
+    w2 = w2.at[0, 0].set(1.0).at[1, 1].set(1.0)
+    wa = z((hidden, N_ACTIONS), jnp.float32)
+    wa = wa.at[0, 0].set(1.0).at[1, 0].set(-1.0)     # A(left)  = d
+    wa = wa.at[0, 2].set(-1.0).at[1, 2].set(1.0)     # A(right) = -d
+    ba = z((N_ACTIONS,), jnp.float32).at[1].set(float(tolerance))
+    return QNetParams(
+        feat1=DenseParams(w=w1, b=z((hidden,), jnp.float32)),
+        feat2=DenseParams(w=w2, b=z((hidden,), jnp.float32)),
+        fc_v=NoisyParams(
+            w_mu=z((hidden, 1), jnp.float32),
+            w_sigma=z((hidden, 1), jnp.float32),
+            b_mu=z((1,), jnp.float32),
+            b_sigma=z((1,), jnp.float32),
+        ),
+        fc_a=NoisyParams(
+            w_mu=wa,
+            w_sigma=z((hidden, N_ACTIONS), jnp.float32),
+            b_mu=ba,
+            b_sigma=z((N_ACTIONS,), jnp.float32),
+        ),
+    )

@@ -108,6 +108,7 @@ class QNetSelfPlay:
             self.init_params = qnet_init(k)
 
         self.params_a = self.init_params
+        self._refresh_a_play()
         self.key, k_state = jax.random.split(self.key)
         self.state = self.learner.shard_state(
             self.learner.init_state(
@@ -182,6 +183,7 @@ class QNetSelfPlay:
         )
         self.current_generation = int(meta.get("generation", 0))
         self.done_generations = int(meta.get("done_generations", 0))
+        self._refresh_a_play()
         # continue the interrupted generation with the restored B (do not
         # start a fresh one at run() entry)
         self._resumed_mid_generation = (
@@ -189,11 +191,31 @@ class QNetSelfPlay:
         )
 
     # -- helpers -----------------------------------------------------------
+    def _refresh_a_play(self) -> None:
+        """The A that actually PLAYS. With ``frozen_a_stale_noise`` the
+        reference quirk applies: one noise draw per A-lifetime folded into
+        the heads (train_iterative.py:86-104 leaves modelA in train mode
+        with its checkpoint's noise buffers); refreshed only when A
+        changes, exactly as the reference's buffers persist until the
+        next checkpoint load. Default: mu-greedy (clean A)."""
+        if self.cfg.selfplay.frozen_a_stale_noise:
+            from pingpong_tpu.models.qnet import (
+                qnet_fold_noise,
+                qnet_sample_noise,
+            )
+
+            self.key, k = jax.random.split(self.key)
+            self.params_a_play = qnet_fold_noise(
+                self.params_a, qnet_sample_noise(k, self.params_a)
+            )
+        else:
+            self.params_a_play = self.params_a
+
     def _opp_stack(self):
         # exactly-sized stack: all slots' Q-values compute every step, so
         # right-sizing beats padding to pool_max (the pool is fixed for the
         # whole QNet run, ref :199-207 — compiled once)
-        return stack_opponents(self.params_a, self.pool, len(self.pool))
+        return stack_opponents(self.params_a_play, self.pool, len(self.pool))
 
     def _eval_vs(self, params_a_list: List[QNetParams], n_games: int) -> float:
         """B (current learner) vs a uniform-per-game set of opponents."""
@@ -389,7 +411,7 @@ class QNetSelfPlay:
                 )
                 self._train_block(sp.episodes_per_generation)
 
-                w_a = self._eval_vs([self.params_a], sp.eval_episodes)
+                w_a = self._eval_vs([self.params_a_play], sp.eval_episodes)
                 w_pool = self._eval_vs(self.pool, sp.eval_episodes)
                 self.logger.log(
                     {
@@ -406,6 +428,7 @@ class QNetSelfPlay:
                     self.params_a = jax.tree_util.tree_map(
                         jnp.copy, self.state.params_b
                     )
+                    self._refresh_a_play()
                     name = f"model{self.cfg.model_id}-{current_generation}"
                     path = self._save(name, current_generation)
                     self.records.append(

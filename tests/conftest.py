@@ -72,7 +72,9 @@ _SLOW = {
     ("test_retention.py", "test_drqn_soft_target_matches_manual_polyak"),
     ("test_retention.py", "test_selfplay_retention_wired"),
     ("test_scaling_bench.py", "test_ladder_runs_and_reports"),
+    ("test_podrun_recipe.py", "test_podrun_cli_contract"),
     ("test_selfplay.py", "test_fault_path_resets_learner"),
+    ("test_selfplay.py", "test_frozen_a_stale_noise_knob"),
     ("test_selfplay.py", "test_promotion_path"),
     ("test_selfplay.py", "test_tier0_full_state_resume_mid_generation"),
     ("test_selfplay.py", "test_warm_start_from_checkpoint"),

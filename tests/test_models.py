@@ -176,3 +176,36 @@ def test_ball_follower():
     ], dtype=jnp.float32)
     a = ball_follower_action(obs, tolerance=0.02)
     assert list(np.asarray(a)) == [0, 2, 1]
+
+
+def test_bot_qnet_params_equals_hardcoded_bot():
+    """bot_qnet_params: greedy argmax == ball_follower_action on random
+    observations (train mode with real noise too — sigmas are zero)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pingpong_tpu.models.policy import ball_follower_action
+    from pingpong_tpu.models.qnet import (
+        bot_qnet_params,
+        qnet_apply,
+        qnet_greedy_action,
+        qnet_sample_noise,
+    )
+
+    params = bot_qnet_params(tolerance=0.02)
+    obs = jax.random.uniform(
+        jax.random.PRNGKey(0), (4096, 7), minval=-1.0, maxval=1.0
+    )
+    # keep clear of the measure-zero |d| == tolerance boundary
+    d = obs[:, 4] - obs[:, 0]
+    obs = obs[jnp.abs(jnp.abs(d) - 0.02) > 1e-4]
+    want = np.asarray(ball_follower_action(obs, tolerance=0.02))
+    got = np.asarray(qnet_greedy_action(params, obs))
+    np.testing.assert_array_equal(got, want)
+    # train-mode forward with sampled noise: sigmas are all zero
+    noise = qnet_sample_noise(jax.random.PRNGKey(1), params)
+    got_train = np.asarray(
+        jnp.argmax(qnet_apply(params, obs, noise), axis=-1)
+    )
+    np.testing.assert_array_equal(got_train, want)

@@ -122,3 +122,42 @@ def test_tier0_full_state_resume_mid_generation(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     records = d2.run()
     assert records[0].generation == 2  # label continued, not skipped
+
+
+def test_frozen_a_stale_noise_knob(tmp_path):
+    """frozen_a_stale_noise: the PLAYING A carries one folded noise draw
+    (ref train_iterative.py:86-104 stale-noise quirk); promoted
+    checkpoints stay clean; the fold refreshes only when A changes."""
+    import dataclasses
+
+    import numpy as np
+
+    from pingpong_tpu.config.schema import SelfPlayConfig
+    from pingpong_tpu.selfplay.loop import QNetSelfPlay
+
+    cfg = tiny_cfg(
+        frozen_a_stale_noise=True, max_generations=1,
+        curr_win_threshold=0.0, pool_win_threshold=0.0,
+        episodes_per_generation=4, eval_episodes=4,
+    )
+    sp = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=3)
+    a = sp.params_a
+    play = sp.params_a_play
+    # heads differ by the folded draw; sigmas zeroed on the playing copy
+    assert not np.allclose(np.asarray(a.fc_a.w_mu),
+                           np.asarray(play.fc_a.w_mu))
+    assert (np.asarray(play.fc_a.w_sigma) == 0).all()
+    assert (np.asarray(play.fc_v.w_sigma) == 0).all()
+    # feature trunk untouched
+    np.testing.assert_array_equal(np.asarray(a.feat1.w),
+                                  np.asarray(play.feat1.w))
+    recs = sp.run()
+    assert recs[0].promoted
+    # after promotion A_play refreshed against the NEW A
+    assert not np.allclose(np.asarray(sp.params_a.fc_a.w_mu),
+                           np.asarray(sp.params_a_play.fc_a.w_mu))
+    # the saved checkpoint holds the clean A (sigma intact), not the fold
+    from pingpong_tpu.selfplay.pool import load_params_any
+
+    saved = load_params_any(recs[0].checkpoint)
+    assert np.asarray(saved.fc_a.w_sigma).any()
