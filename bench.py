@@ -125,8 +125,18 @@ def bench_train_iteration(pool_n: int = 0):
                     memory_size=1_048_576)
     learner = DQNLearner(_bench_env_cfg(), cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
-    pool = [qnet_init(jax.random.PRNGKey(10 + i)) for i in range(pool_n)]
-    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), pool, pool_n)
+    # a realistic pool is a heads-only lineage (the reference freezes the
+    # feature trunk, train_iterative.py:96-104): every member shares the
+    # trunk of the generation-0 init and differs in the dueling heads —
+    # which engages the kernel's shared-trunk member loop
+    base = qnet_init(jax.random.PRNGKey(1))
+    pool = [
+        base._replace(fc_v=qnet_init(jax.random.PRNGKey(10 + i)).fc_v,
+                      fc_a=qnet_init(jax.random.PRNGKey(10 + i)).fc_a)
+        for i in range(pool_n)
+    ]
+    opp, n = stack_opponents(base, pool, pool_n)
+    opp = learner.prepare_opponents(opp)   # packed once, as the loop does
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)  # compile
     np.asarray(m.mean_loss)
@@ -154,6 +164,7 @@ def bench_drqn_iteration():
     params = learner.init_params(jax.random.PRNGKey(0))
     state = learner.init_state(jax.random.PRNGKey(1), params)
     opp, n = stack_rnn_opponents(params, [])
+    opp = learner.prepare_opponents(opp)   # packed once, as the loop does
     n = jnp.int32(n)
     state, m = learner.train_iteration(state, opp, n)
     np.asarray(m.mean_loss)

@@ -262,18 +262,47 @@ def _one_step(params, cfg, member_ranges, uniform, seed_mix, epsilon,
     else:
         G = len(member_ranges)
         Eg = E // G
+        shared_trunk = cfg.get("shared_trunk", False)
         parts = []
         for g, (lo, hi) in enumerate(member_ranges):
             obs8_g = obs8[:, g * Eg:(g + 1) * Eg]
             opp_g = opp[:, g * Eg:(g + 1) * Eg]
 
-            def member_body(k, act_a, obs8_g=obs8_g, opp_g=opp_g):
-                ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
-                adv_k = _advantage_t(
-                    obs8_g, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5]
+            if shared_trunk:
+                # heads-only lineages (the reference default,
+                # train_iterative.py:96-104) share one frozen feature
+                # trunk across A and every pool member — verified on the
+                # host at pack time (PreparedOpponents.shared_trunk).
+                # The trunk runs ONCE per group; the member loop is only
+                # the (8, 64) advantage head — ~3x fewer serialized ops
+                # per member iteration than the full-forward loop.
+                w1t, b1t = opp_refs[0][0:1][0], opp_refs[1][0:1][0]
+                w2t, b2t = opp_refs[2][0:1][0], opp_refs[3][0:1][0]
+                h = jnp.maximum(
+                    jnp.dot(w1t, obs8_g,
+                            preferred_element_type=jnp.float32) + b1t, 0.0
                 )
-                a_k = _argmax3_rows(adv_k)
-                return jnp.where(opp_g == k, a_k, act_a)
+                h2_g = jnp.maximum(
+                    jnp.dot(w2t, h,
+                            preferred_element_type=jnp.float32) + b2t, 0.0
+                )
+
+                def member_body(k, act_a, h2_g=h2_g, opp_g=opp_g):
+                    wat = opp_refs[4][pl.ds(k, 1)][0]
+                    bat = opp_refs[5][pl.ds(k, 1)][0]
+                    adv_k = jnp.dot(
+                        wat, h2_g, preferred_element_type=jnp.float32
+                    ) + bat
+                    a_k = _argmax3_rows(adv_k)
+                    return jnp.where(opp_g == k, a_k, act_a)
+            else:
+                def member_body(k, act_a, obs8_g=obs8_g, opp_g=opp_g):
+                    ow = [r[pl.ds(k, 1)][0] for r in opp_refs]
+                    adv_k = _advantage_t(
+                        obs8_g, ow[0], ow[1], ow[2], ow[3], ow[4], ow[5]
+                    )
+                    a_k = _argmax3_rows(adv_k)
+                    return jnp.where(opp_g == k, a_k, act_a)
 
             parts.append(jax.lax.fori_loop(
                 lo, hi + 1, member_body,
@@ -496,6 +525,12 @@ def pallas_actor_rollout(
                                 # opponent pass (pool tax ~ span/G);
                                 # clamped to >=256 lanes per group,
                                 # forced 1 for a single stacked slot
+    member_shared_trunk: bool = False,  # all stacked slots share one
+                                # frozen feature trunk (heads-only
+                                # lineages): trunk once per group,
+                                # member loop = advantage head only.
+                                # Caller must VERIFY equality (see
+                                # train/dqn.py::DQNLearner.prepare_opponents)
 ):
     """Returns (new_state, new_opp_idx, new_ep_return, transitions,
     stat_counts, ret_sum, ended). transitions dict arrays are (T, B[, 7]);
@@ -548,7 +583,8 @@ def pallas_actor_rollout(
            "max_episode_steps": int(max_episode_steps),
            "emit_transitions": bool(emit_transitions),
            "steps_per_cell": int(steps_per_cell),
-           "n_slots": int(n_members), "member_groups": int(G)}
+           "n_slots": int(n_members), "member_groups": int(G),
+           "shared_trunk": bool(member_shared_trunk)}
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if emit_transitions and not interpret:

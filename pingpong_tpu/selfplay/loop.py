@@ -353,6 +353,9 @@ class QNetSelfPlay:
         goal = start_eps + episodes_target
         watch = Stopwatch()
         opp, pool_size = self._opp_stack()
+        # pack ONCE per block: the stack is fixed for the whole block and
+        # re-packing it inside every jitted iteration is dispatch tax
+        opp = self.learner.prepare_opponents(opp)
         pool_size = jnp.int32(pool_size)
         env_steps = 0
         last_log_eps = start_eps

@@ -289,6 +289,8 @@ class DRQNSelfPlay:
         # pool growth costs one recompile per generation
         self.state = self.learner.shard_state(self.state)
         opp, pool_size = stack_rnn_opponents(self.params_a, self.pool)
+        # pack ONCE per block (see train/drqn.py::PreparedRNNOpponents)
+        opp = self.learner.prepare_opponents(opp)
         pool_size = jnp.int32(pool_size)
         env_steps = 0
         last_log_eps = int(self.state.episodes)

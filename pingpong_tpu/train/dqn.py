@@ -122,6 +122,37 @@ def trainable_mask(params: QNetParams, heads_only: bool) -> QNetParams:
     )
 
 
+@jax.tree_util.register_pytree_node_class
+class PreparedOpponents:
+    """Opponent stack pre-packed for the fused rollout kernel.
+
+    The stack is fixed across a whole generation block (the reference
+    loads the pool once, train_iterative.py:199-207), but packing it
+    (mirror fold + transposes + pads over 1+pool slots) was re-traced
+    into every train_iteration — pure dispatch tax on the serial chain.
+    ``DQNLearner.prepare_opponents`` builds this once per block;
+    ``train_iteration`` accepts it anywhere a raw stack is accepted.
+
+    ``shared_trunk`` is STATIC pytree aux data (jit specializes on it):
+    True when every slot carries bit-identical feature-trunk weights —
+    the invariant of heads-only lineages (train_iterative.py:96-104) —
+    verified on the host at prepare time. The rollout kernel then runs
+    the trunk once per lane group and loops members over the advantage
+    head only."""
+
+    def __init__(self, raw: QNetParams, packed, shared_trunk: bool = False):
+        self.raw = raw
+        self.packed = packed
+        self.shared_trunk = bool(shared_trunk)
+
+    def tree_flatten(self):
+        return (self.raw, self.packed), self.shared_trunk
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
 def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array) -> Array:
     """Deterministic contiguous bucket assignment for
     ``opponent_binding="bucketed"``: the first ``round((1-ratio)*B)`` envs
@@ -198,6 +229,28 @@ class DQNLearner:
         # over 'data'. See docs/PODRUN.md for the cost model.
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
+        from pingpong_tpu.ops.actor_rollout import pack_qnet
+
+        self._pack_opp = jax.jit(lambda stack: pack_qnet(stack, mirror=True))
+
+    def prepare_opponents(self, opp_stack: QNetParams) -> "PreparedOpponents":
+        """Pack an opponent stack once per generation block, and detect
+        the heads-only-lineage shared-trunk invariant on the host (exact
+        array equality of every slot's feature weights vs slot 0)."""
+        import numpy as np
+
+        n_slots = jax.tree_util.tree_leaves(opp_stack)[0].shape[0]
+        shared = False
+        if n_slots > 1:
+            shared = all(
+                bool(np.all(np.asarray(leaf) == np.asarray(leaf[0:1])))
+                for leaf in (opp_stack.feat1.w, opp_stack.feat1.b,
+                             opp_stack.feat2.w, opp_stack.feat2.b)
+            )
+        return PreparedOpponents(
+            raw=opp_stack, packed=self._pack_opp(opp_stack),
+            shared_trunk=shared,
+        )
 
     def shard_state(self, state: "DQNTrainState") -> "DQNTrainState":
         """Place a train state onto the mesh: batch/replay on ``data``,
@@ -362,6 +415,12 @@ class DQNLearner:
             pallas_actor_rollout,
         )
 
+        packed_ow = None
+        shared_trunk = False
+        if isinstance(opp_stack, PreparedOpponents):
+            packed_ow = opp_stack.packed
+            shared_trunk = opp_stack.shared_trunk
+            opp_stack = opp_stack.raw
         cfg = self.cfg
         key, k_seed, k_gate, k_pick = jax.random.split(state.key, 4)
         seed = jax.random.randint(k_seed, (), 0, jnp.int32(2**31 - 1))
@@ -418,7 +477,8 @@ class DQNLearner:
         local_envs = cfg.num_envs // ndata if cfg.num_envs % ndata == 0 else 0
         tile = min(cfg.pallas_tile_rows, local_envs or cfg.num_envs)
         lw = pack_qnet(state.params_b)
-        ow = pack_qnet(opp_stack, mirror=True)
+        ow = (packed_ow if packed_ow is not None
+              else pack_qnet(opp_stack, mirror=True))
 
         def call_kernel(env_state, opp_idx, ep_return, lw, ow, seed,
                         epsilon, pool_size, tile0):
@@ -430,6 +490,7 @@ class DQNLearner:
                 max_episode_steps=self.env_cfg.max_episode_steps,
                 tile_rows=tile, tile0=tile0,
                 member_groups=cfg.pallas_member_groups,
+                member_shared_trunk=shared_trunk,
             )
 
         if ndata > 1 and local_envs and local_envs % tile == 0:
@@ -498,6 +559,8 @@ class DQNLearner:
     def _rollout(self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array):
         if self.cfg.use_pallas_rollout:
             return self._rollout_pallas(state, opp_stack, pool_size)
+        if isinstance(opp_stack, PreparedOpponents):
+            opp_stack = opp_stack.raw
         cfg = self.cfg
         env_params = self.env_params
         params_b = state.params_b  # closed over: scan must not carry the

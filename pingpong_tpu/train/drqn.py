@@ -106,6 +106,15 @@ class DRQNMetrics(NamedTuple):
     env_steps: Array
 
 
+class PreparedRNNOpponents(NamedTuple):
+    """Opponent stack pre-packed for the recurrent rollout kernel (see
+    train/dqn.py::PreparedOpponents — same rationale: the stack is fixed
+    across a generation block; packing per iteration was dispatch tax)."""
+
+    raw: QNetRNNParams
+    packed: tuple          # pack_qnet_rnn(..., mirror=True) output
+
+
 def stack_rnn_opponents(
     params_a: QNetRNNParams,
     pool: Sequence[QNetRNNParams],
@@ -160,6 +169,13 @@ class DRQNLearner:
         # GSPMD gather the whole ring at each update-block sample.)
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
+        from pingpong_tpu.ops.recurrent_rollout import pack_qnet_rnn
+
+        self.prepare_opponents = jax.jit(
+            lambda stack: PreparedRNNOpponents(
+                raw=stack, packed=pack_qnet_rnn(stack, mirror=True)
+            )
+        )
 
     def shard_state(self, state: "DRQNTrainState") -> "DRQNTrainState":
         """Place the train state onto the mesh: per-env axes on ``data``
@@ -337,6 +353,10 @@ class DRQNLearner:
             pallas_recurrent_rollout,
         )
 
+        packed_ow = None
+        if isinstance(opp_stack, PreparedRNNOpponents):
+            packed_ow = opp_stack.packed
+            opp_stack = opp_stack.raw
         cfg = self.cfg
         key, k_seed, k_gate, k_pick = jax.random.split(state.key, 4)
         seed = jax.random.randint(k_seed, (), 0, jnp.int32(2**31 - 1))
@@ -404,7 +424,8 @@ class DRQNLearner:
         tile = min(cfg.pallas_tile_rows, local_envs or cfg.num_envs)
         lw = pack_qnet_rnn(state.params_b)
         lsig = pack_rnn_sigma(state.params_b)
-        ow = pack_qnet_rnn(opp_stack, mirror=True)
+        ow = (packed_ow if packed_ow is not None
+              else pack_qnet_rnn(opp_stack, mirror=True))
 
         def call_kernel(env_state, opp_s, ret_s, hid, lw, lsig, ow, seed,
                         epsilon, tile0):
@@ -499,6 +520,8 @@ class DRQNLearner:
                  pool_size: Array):
         if self.cfg.use_pallas_rollout and self._pallas_ok:
             return self._rollout_pallas(state, opp_stack, pool_size)
+        if isinstance(opp_stack, PreparedRNNOpponents):
+            opp_stack = opp_stack.raw
         cfg = self.cfg
         env_params = self.env_params
         params_b = state.params_b  # closed over; the scan carries only the

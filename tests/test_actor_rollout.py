@@ -163,3 +163,54 @@ def test_learner_integration_pallas_path():
     assert e1 == e2
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_shared_trunk_member_loop_matches_full_loop():
+    """PreparedOpponents.shared_trunk engages the trunk-once member loop;
+    actions/state must match the full-forward member loop bitwise when
+    every slot really shares the trunk (heads-only lineage invariant)."""
+    import numpy as np
+
+    from pingpong_tpu.config import DQNConfig, EnvConfig
+    from pingpong_tpu.models import qnet_init
+    from pingpong_tpu.train.dqn import DQNLearner, stack_opponents
+
+    cfg = DQNConfig(
+        num_envs=32, rollout_length=16, updates_per_iteration=2,
+        batch_size=16, memory_size=1024, pool_max=3,
+        target_update_interval=8,
+        selfplay=__import__("pingpong_tpu.config.schema",
+                            fromlist=["SelfPlayConfig"]).SelfPlayConfig(
+            opponent_pool_ratio=0.75),
+    )
+    env = EnvConfig(max_episode_steps=64)
+    base = qnet_init(jax.random.PRNGKey(1))
+    pool = [
+        base._replace(fc_a=qnet_init(jax.random.PRNGKey(10 + i)).fc_a,
+                      fc_v=qnet_init(jax.random.PRNGKey(10 + i)).fc_v)
+        for i in range(3)
+    ]
+    stack, n = stack_opponents(base, pool, cfg.pool_max)
+
+    def run(opp):
+        learner = DQNLearner(env, cfg)
+        state = learner.init_state(jax.random.PRNGKey(0))
+        for _ in range(3):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+        return jax.device_get(state)
+
+    learner0 = DQNLearner(env, cfg)
+    prepared = learner0.prepare_opponents(stack)
+    assert prepared.shared_trunk          # detection on equal trunks
+    s_shared = run(prepared)
+    s_full = run(stack)                   # raw stack -> full member loop
+    for a, b in zip(jax.tree_util.tree_leaves(s_shared.params_b),
+                    jax.tree_util.tree_leaves(s_full.params_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s_shared.opp_idx),
+                                  np.asarray(s_full.opp_idx))
+
+    # differing trunks must NOT claim the invariant
+    stack2, _ = stack_opponents(qnet_init(jax.random.PRNGKey(5)), pool,
+                                cfg.pool_max)
+    assert not learner0.prepare_opponents(stack2).shared_trunk
