@@ -113,3 +113,42 @@ def test_run_viewer_with_checkpoint(tmp_path):
                     max_steps=300)
     assert rc == 0
     assert (tmp_path / "v.gif").exists()
+
+
+def test_env_debug_renderer_headless():
+    """In-env debug renderer (ref my_pong_env_2p.py:265-306 parity):
+    renders any batched EnvState headlessly to RGB frames."""
+    import jax
+    import numpy as np
+
+    from pingpong_tpu.config import EnvConfig
+    from pingpong_tpu.env.debug_render import DebugRenderer
+    from pingpong_tpu.env.pong import (
+        env_params_from_config,
+        reset,
+        step_autoreset_batch,
+    )
+    from pingpong_tpu.models.policy import ball_follower_action
+    from pingpong_tpu.env.pong import observe
+
+    cfg = EnvConfig(max_episode_steps=64)
+    params = env_params_from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    state = jax.vmap(reset, in_axes=(None, 0))(
+        params, jax.random.split(key, 4)
+    )
+    r = DebugRenderer(cfg.paddle_width, size=200, window=False)
+    frames = []
+    for i in range(5):
+        obs_a, obs_b = observe(state)
+        state, _ = step_autoreset_batch(
+            params, state, jax.random.PRNGKey(i),
+            ball_follower_action(obs_a), ball_follower_action(obs_b),
+        )
+        frames.append(r.render(state, index=1))
+    assert frames[0].shape == (200, 200, 3)
+    # consecutive frames differ (the ball moves)
+    assert any(
+        not np.array_equal(frames[i], frames[i + 1]) for i in range(4)
+    )
+    r.close()
