@@ -27,20 +27,23 @@ import numpy as np
 # (t(N2) - t(N1)) / (N2 - N1), each t ending in one host fetch.
 
 
-def _slope_time(run_n, n1=10, n2=50, trials=3):
+def _slope_time(run_n, n1=10, n2=50, trials=4):
     """True per-call seconds via host-fetch-terminated slope timings.
 
     A single slope (t(n2)-t(n1))/(n2-n1) is fragile on this tunnel
-    backend: one multi-ms hiccup inside the n2 window inflates the
-    estimate by hiccup/(n2-n1) — the round-2 docs-vs-driver rollout
-    discrepancy traced to exactly this. The minimum over a few slope
-    trials discards additive noise (execution time is a hard floor)."""
-    best = float("inf")
+    backend: a multi-ms hiccup in the n2 window INFLATES the estimate,
+    and one in the n1 window DEFLATES it — min-of-slopes (rounds 2-3)
+    guarded only against the former and could pick a deflated reading
+    (observed 2x swings on identical programs). The floor-difference
+    estimator is robust on both ends: each window's minimum over trials
+    is a hard floor of its own distribution (execution time plus
+    nonnegative noise), so their difference cancels the fixed overhead
+    without admitting hiccups from either side."""
+    t1s, t2s = [], []
     for _ in range(trials):
-        t1 = run_n(n1)
-        t2 = run_n(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        t1s.append(run_n(n1))
+        t2s.append(run_n(n2))
+    return (min(t2s) - min(t1s)) / (n2 - n1)
 
 from pingpong_tpu.config import DQNConfig, EnvConfig
 from pingpong_tpu.env.pong import (

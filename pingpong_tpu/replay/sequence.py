@@ -48,21 +48,37 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+CHUNK = 128   # chunk-major column-block width (lane-aligned)
+
 
 class SeqReplay(NamedTuple):
     """``next_obs`` is NOT stored: within a valid window (single episode,
     consecutive columns) ``next_obs[j] == obs[j+1]``, so :func:`seq_sample`
-    derives the next-sequence by a +1-shifted gather — halving the ring's
-    dominant storage and the rollout kernel's transition-emit traffic. The
-    one position where the identity fails, a window whose LAST step ends
-    the episode, is exactly the position whose bootstrap term the Double-
-    DQN loss multiplies by ``(1 - done)``: the garbage value is
-    mathematically unreachable (train/drqn.py::_update)."""
+    derives the next-sequence by sampling T+1-column windows — halving the
+    ring's dominant storage and the rollout kernel's transition-emit
+    traffic. The one position where the identity fails, a window whose
+    LAST step ends the episode, is exactly the position whose bootstrap
+    term the Double-DQN loss multiplies by ``(1 - done)``: the garbage
+    value is mathematically unreachable (train/drqn.py::_update).
 
-    obs: Array        # (B, R, obs_dim) f32
-    action: Array     # (B, R) i32
-    reward: Array     # (B, R) f32
-    done: Array       # (B, R) bool
+    PACKED, CHUNK-MAJOR layout (round-4 perf): obs/action/reward/done
+    live in ONE f32 plane ``data`` with per-step field rows
+    ``[obs | action | reward | done]`` (F = obs_dim+3 values each).
+    When ``ring_len % 128 == 0`` the plane is stored CHUNK-major,
+    ``(B, R/128, 128*F)`` — each row is one env's 128-step column chunk.
+    Why: XLA's TPU gather is latency-bound per ROW, and reshaping across
+    a padded minor dim is a full physical relayout (measured: the naive
+    ``(B, R, F)`` plane costs 2.2ms to sample N=2048 windows row-wise
+    and ~10ms if reshaped first). Chunk-major makes the window fetch a
+    two-stage op with NO big relayout: gather each window's enclosing
+    chunk PAIR as 2N wide rows (free leading-dim flatten), then slice
+    the T+1 window from the small (N, 256, F) intermediate. Rings with
+    ``ring_len % 128 != 0`` (tiny test buffers) fall back to a flat
+    ``(B, R, F)`` plane and 2-D indexed gathers. Actions (0..2) and
+    done flags round-trip exactly through f32; tests and tools keep the
+    field view via the read-only ``obs/action/reward/done`` properties."""
+
+    data: Array       # (B, R/128, 128*F) chunk-major, or (B, R, F) flat
     ep_id: Array      # (B, R) i32, -1 = never written
     cursor: Array     # i32 shared column cursor (total steps written)
     ep_count: Array   # i32 completed episodes admitted (len >= trace)
@@ -75,6 +91,44 @@ class SeqReplay(NamedTuple):
     dir_len: Array    # (D,) i32 episode length (>= trace_length)
     dir_id: Array     # (D,) i32 the episode's ep_id (staleness check)
     dir_cursor: Array # i32 total episodes ever appended to the directory
+
+    @property
+    def is_chunked(self) -> bool:
+        return self.data.shape[1] != self.ep_id.shape[1]
+
+    @property
+    def obs_dim(self) -> int:
+        if self.is_chunked:
+            ring = self.ep_id.shape[1]
+            c = ring // self.data.shape[1]
+            return self.data.shape[2] // c - 3
+        return self.data.shape[-1] - 3
+
+    def _brf(self) -> Array:
+        """Flat (B, R, F) logical view (tests/tools; a relayout when
+        chunked — hot paths never call this)."""
+        if not self.is_chunked:
+            return self.data
+        B, ring = self.ep_id.shape
+        f = self.obs_dim + 3
+        return self.data.reshape(B, ring, f)
+
+    # read-only field views (tests/tools; hot paths use `data` directly)
+    @property
+    def obs(self) -> Array:
+        return self._brf()[..., : self.obs_dim]
+
+    @property
+    def action(self) -> Array:
+        return self._brf()[..., self.obs_dim].astype(jnp.int32)
+
+    @property
+    def reward(self) -> Array:
+        return self._brf()[..., self.obs_dim + 1]
+
+    @property
+    def done(self) -> Array:
+        return self._brf()[..., self.obs_dim + 2] > 0.5
 
 
 class SeqSample(NamedTuple):
@@ -97,11 +151,14 @@ def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7,
     single dummy slot (zero-size leaves cannot round-trip through Orbax
     checkpointing)."""
     dir_n = max(dir_cap, 1)
+    f = obs_dim + 3
+    if ring_len % CHUNK == 0:
+        data = jnp.zeros((num_envs, ring_len // CHUNK, CHUNK * f),
+                         jnp.float32)
+    else:
+        data = jnp.zeros((num_envs, ring_len, f), jnp.float32)
     return SeqReplay(
-        obs=jnp.zeros((num_envs, ring_len, obs_dim), jnp.float32),
-        action=jnp.zeros((num_envs, ring_len), jnp.int32),
-        reward=jnp.zeros((num_envs, ring_len), jnp.float32),
-        done=jnp.zeros((num_envs, ring_len), jnp.bool_),
+        data=data,
         ep_id=jnp.full((num_envs, ring_len), -1, jnp.int32),
         cursor=jnp.int32(0),
         ep_count=jnp.int32(0),
@@ -112,6 +169,28 @@ def seq_init(num_envs: int, ring_len: int, obs_dim: int = 7,
         dir_len=jnp.zeros((dir_n,), jnp.int32),
         dir_id=jnp.full((dir_n,), -1, jnp.int32),
         dir_cursor=jnp.int32(0),
+    )
+
+
+def _field_at(buf: SeqReplay, env: Array, t: Array, field: int) -> Array:
+    """Hot-path scalar-field read at (env, t) — layout-aware, no relayout
+    (the chunked branch's leading-dim flatten is free)."""
+    if buf.is_chunked:
+        cf = buf.data.shape[2]
+        nc = buf.data.shape[1]
+        f = cf // CHUNK
+        flat = buf.data.reshape(-1, cf)
+        return flat[env * nc + t // CHUNK, (t % CHUNK) * f + field]
+    return buf.data[env, t, field]
+
+
+def _pack_fields(obs: Array, action: Array, reward: Array,
+                 done: Array) -> Array:
+    """(..., obs_dim) fields -> (..., obs_dim+3) packed f32 rows."""
+    return jnp.concatenate(
+        [obs, action.astype(jnp.float32)[..., None],
+         reward.astype(jnp.float32)[..., None],
+         done.astype(jnp.float32)[..., None]], axis=-1,
     )
 
 
@@ -156,11 +235,16 @@ def seq_push_step(
             buf, admitted, jnp.arange(B, dtype=jnp.int32),
             buf.cursor - new_len + 1, new_len, buf.cur_ep_id,
         )
+    packed = _pack_fields(obs, action, reward, done)       # (B, F)
+    if buf.is_chunked:
+        f = packed.shape[-1]
+        data = jax.lax.dynamic_update_slice(
+            buf.data, packed[:, None, :], (0, col // CHUNK, (col % CHUNK) * f)
+        )
+    else:
+        data = buf.data.at[:, col].set(packed)
     return SeqReplay(
-        obs=buf.obs.at[:, col].set(obs),
-        action=buf.action.at[:, col].set(action),
-        reward=buf.reward.at[:, col].set(reward),
-        done=buf.done.at[:, col].set(done),
+        data=data,
         ep_id=buf.ep_id.at[:, col].set(buf.cur_ep_id),
         cursor=buf.cursor + 1,
         ep_count=buf.ep_count + jnp.sum(admitted.astype(jnp.int32)),
@@ -238,16 +322,38 @@ def seq_push_rollout(
 
     aligned = ring % T == 0  # static: cursor % ring is then a multiple of T
     col0 = buf.cursor % ring
+    fw = obs.shape[-1] + 3
+    packed = jnp.moveaxis(
+        _pack_fields(obs, action, reward, done), 0, 1
+    )                                                       # (B, T, F)
 
-    def put(dst, src_tb):
-        # dst (B, R, ...) <- src (T, B, ...) at columns cols
-        src = jnp.moveaxis(src_tb, 0, 1)                    # (B, T, ...)
-        if aligned:
-            # contiguous column block: one dynamic_update_slice beats a
-            # T-index scatter by a wide margin on TPU
-            idx0 = (0, col0) + (0,) * (src.ndim - 2)
-            return jax.lax.dynamic_update_slice(dst, src, idx0)
-        return dst.at[:, cols].set(src)
+    def put_data(dst):
+        if not buf.is_chunked:
+            if aligned:
+                # contiguous column block: one dynamic_update_slice beats
+                # a T-index scatter by a wide margin on TPU
+                return jax.lax.dynamic_update_slice(dst, packed, (0, col0, 0))
+            return dst.at[:, cols].set(packed)
+        # chunk-major: the T-column block is whole chunk rows (T >= 128)
+        # or a contiguous span inside one chunk row (T | 128) — one DUS
+        chunk_ok = aligned and (T % CHUNK == 0 or CHUNK % T == 0)
+        if chunk_ok and T >= CHUNK:
+            blk = packed.reshape(B, T // CHUNK, CHUNK * fw)
+            return jax.lax.dynamic_update_slice(
+                dst, blk, (0, col0 // CHUNK, 0)
+            )
+        if chunk_ok:
+            blk = packed.reshape(B, 1, T * fw)
+            return jax.lax.dynamic_update_slice(
+                dst, blk, (0, col0 // CHUNK, (col0 % CHUNK) * fw)
+            )
+        out = dst                        # general fallback: per-column DUS
+        for t in range(T):
+            out = jax.lax.dynamic_update_slice(
+                out, packed[:, t][:, None, :],
+                (0, cols[t] // CHUNK, (cols[t] % CHUNK) * fw),
+            )
+        return out
 
     def put_bt(dst, src_bt):
         if aligned:
@@ -255,10 +361,7 @@ def seq_push_rollout(
         return dst.at[:, cols].set(src_bt)
 
     return SeqReplay(
-        obs=put(buf.obs, obs),
-        action=put(buf.action, action),
-        reward=put(buf.reward, reward),
-        done=put(buf.done, done),
+        data=put_data(buf.data),
         ep_id=put_bt(buf.ep_id, ep_ids),
         cursor=buf.cursor + T,
         ep_count=buf.ep_count + n_admitted,
@@ -302,7 +405,7 @@ def _window_valid(buf: SeqReplay, env: Array, t0: Array, trace_length: int) -> A
     ok = (id_lo == id_hi) & (id_lo >= 0) & in_range & not_inflight \
         & ~straddles_seam
     # derived-next frontier/seam rules for windows still needing obs[t0+T]
-    end_done = buf.done[env, t0 + T - 1]
+    end_done = _field_at(buf, env, t0 + T - 1, buf.obs_dim + 2) > 0.5
     next_written = (t0 + T) < buf.cursor            # pre-wrap frontier
     next_seam_ok = ~((buf.cursor >= ring) & (seam == (t0 + T) % ring))
     next_ok = end_done | (
@@ -334,66 +437,86 @@ def seq_sample(
     if episode_uniform and buf.dir_env.shape[0] <= 1:
         raise ValueError("episode_uniform sampling needs seq_init(dir_cap>=2)")
 
-    env = jnp.zeros((batch_size,), jnp.int32)
-    t0 = jnp.zeros((batch_size,), jnp.int32)
-    valid = jnp.zeros((batch_size,), jnp.bool_)
-    for r in range(rejection_rounds):
-        if episode_uniform:
-            cap = buf.dir_env.shape[0]
-            n_dir = jnp.minimum(buf.dir_cursor, cap)
-            key, k_slot, k_off = jax.random.split(key, 3)
-            slot = jax.random.randint(
-                k_slot, (batch_size,), 0, jnp.maximum(n_dir, 1)
-            )
-            cand_env = buf.dir_env[slot]
-            length = buf.dir_len[slot]
-            off = jax.random.randint(
-                k_off, (batch_size,), 0,
-                jnp.maximum(length - trace_length + 1, 1),
-            )
-            cand_t0 = (buf.dir_start[slot] + off) % ring
-            no_wrap = cand_t0 + trace_length <= ring
-            cand_ok = (
-                (n_dir > 0) & no_wrap
-                & _window_valid(buf, cand_env, cand_t0, trace_length)
-                & (buf.ep_id[cand_env, cand_t0] == buf.dir_id[slot])
-            )
-        else:
-            key, k_env, k_t = jax.random.split(key, 3)
-            cand_env = jax.random.randint(k_env, (batch_size,), 0, num_envs)
-            cand_t0 = jax.random.randint(k_t, (batch_size,), 0, t_max)
-            cand_ok = _window_valid(buf, cand_env, cand_t0, trace_length)
-        take = (~valid) & cand_ok
-        env = jnp.where(take, cand_env, env)
-        t0 = jnp.where(take, cand_t0, t0)
-        valid = valid | cand_ok
-
-    # windows as ONE flat row gather: a vmapped dynamic_slice lowers to a
-    # per-window general gather (~60ms at N=2048 on v5e); flattening the
-    # (env, time) plane and taking N*T rows in a single jnp.take is ~20x
-    # faster and bit-identical (ring rows never straddle the env axis:
-    # t0 <= ring - trace_length by construction of t_max above)
-    offs = jnp.arange(trace_length, dtype=jnp.int32)[None, :]
-    flat_idx = (env[:, None] * ring + t0[:, None] + offs).reshape(-1)
-    # derived next-sequence: the same rows shifted +1 (mod ring for the
-    # single element of a window ending at the row's last column; the
-    # validity rules above guarantee that wrapped element is either
-    # time-adjacent or masked by done)
-    flat_next = (
-        env[:, None] * ring + (t0[:, None] + offs + 1) % ring
-    ).reshape(-1)
-
-    def gather(arr, idx=flat_idx):
-        a = arr.reshape((num_envs * ring,) + arr.shape[2:])
-        return jnp.take(a, idx, axis=0).reshape(
-            (batch_size, trace_length) + arr.shape[2:]
+    # ALL rejection rounds' candidates are drawn and validity-checked in
+    # ONE vectorized pass of (rounds * batch) width, then each slot takes
+    # its FIRST valid round — identical in distribution to sequential
+    # redraw rounds (candidates are iid), but the ~10 gather/compare ops
+    # of the validity rules run once at 4x width instead of 4 times (the
+    # update path is latency-bound; op count is wall-clock).
+    R_ = rejection_rounds
+    nrb = R_ * batch_size
+    if episode_uniform:
+        cap = buf.dir_env.shape[0]
+        n_dir = jnp.minimum(buf.dir_cursor, cap)
+        key, k_slot, k_off = jax.random.split(key, 3)
+        slot = jax.random.randint(k_slot, (nrb,), 0, jnp.maximum(n_dir, 1))
+        cand_env = buf.dir_env[slot]
+        length = buf.dir_len[slot]
+        off = jax.random.randint(
+            k_off, (nrb,), 0, jnp.maximum(length - trace_length + 1, 1)
         )
+        cand_t0 = (buf.dir_start[slot] + off) % ring
+        no_wrap = cand_t0 + trace_length <= ring
+        cand_ok = (
+            (n_dir > 0) & no_wrap
+            & _window_valid(buf, cand_env, cand_t0, trace_length)
+            & (buf.ep_id[cand_env, cand_t0] == buf.dir_id[slot])
+        )
+    else:
+        key, k_env, k_t = jax.random.split(key, 3)
+        cand_env = jax.random.randint(k_env, (nrb,), 0, num_envs)
+        cand_t0 = jax.random.randint(k_t, (nrb,), 0, t_max)
+        cand_ok = _window_valid(buf, cand_env, cand_t0, trace_length)
+    ok_r = cand_ok.reshape(R_, batch_size)
+    first = jnp.argmax(ok_r, axis=0)                 # first valid round
+    pick = first * batch_size + jnp.arange(batch_size, dtype=jnp.int32)
+    env = cand_env[pick]
+    t0 = cand_t0[pick]
+    valid = jnp.any(ok_r, axis=0)
+    env = jnp.where(valid, env, 0)
+    t0 = jnp.where(valid, t0, 0)
+
+    # Window fetch. Each window is a CONTIGUOUS (T+1, F) column span of
+    # one env row of the packed ring (fields [obs|action|reward|done] in
+    # one plane; the derived next-sequence is the +1-shifted slice of
+    # the same span — the one possibly-wrapping element is either
+    # time-adjacent or masked by done, per the validity rules above).
+    T = trace_length
+    d = buf.obs_dim
+    F = d + 3
+    if buf.is_chunked and T + 1 <= CHUNK:
+        # two-stage fetch on the chunk-major plane: XLA's gather is
+        # latency-bound per ROW, so stage 1 gathers each window's
+        # enclosing CHUNK PAIR as wide (128*F-element) rows — 2N wide
+        # rows instead of N*(T+1) tiny ones, with NO relayout (the
+        # leading-dim flatten is free on the chunk-major layout) — and
+        # stage 2 slices the T+1 window out of the small (N, 256, F)
+        # intermediate with take_along_axis.
+        nc = buf.data.shape[1]
+        flat_c = buf.data.reshape(num_envs * nc, CHUNK * F)
+        c0 = t0 // CHUNK
+        idx_pair = jnp.concatenate([
+            env * nc + c0,
+            env * nc + (c0 + 1) % nc,
+        ])
+        pair = jnp.take(flat_c, idx_pair, axis=0)       # (2N, 128*F)
+        win = jnp.concatenate(
+            [pair[:batch_size], pair[batch_size:]], axis=1
+        ).reshape(batch_size, 2 * CHUNK, F)
+        off = (t0 % CHUNK)[:, None] + jnp.arange(
+            T + 1, dtype=jnp.int32)[None, :]
+        rows = jnp.take_along_axis(win, off[:, :, None], axis=1)
+    else:
+        offs = jnp.arange(T + 1, dtype=jnp.int32)[None, :]
+        tt = (t0[:, None] + offs) % ring
+        ee = jnp.broadcast_to(env[:, None], tt.shape)
+        rows = buf._brf()[ee, tt]
 
     return SeqSample(
-        obs=gather(buf.obs),
-        action=gather(buf.action),
-        reward=gather(buf.reward),
-        next_obs=gather(buf.obs, flat_next),
-        done=gather(buf.done),
+        obs=rows[:, :T, :d],
+        action=rows[:, :T, d].astype(jnp.int32),
+        reward=rows[:, :T, d + 1],
+        next_obs=rows[:, 1:, :d],
+        done=rows[:, :T, d + 2] > 0.5,
         valid=valid,
     )

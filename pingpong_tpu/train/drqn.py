@@ -201,10 +201,7 @@ class DRQNLearner:
             target_b=put(state.target_b, P()),
             opt_state=put(state.opt_state, P()),
             buffer=state.buffer._replace(
-                obs=put(state.buffer.obs, rb),
-                action=put(state.buffer.action, rb),
-                reward=put(state.buffer.reward, rb),
-                done=put(state.buffer.done, rb),
+                data=put(state.buffer.data, rb),
                 ep_id=put(state.buffer.ep_id, rb),
                 cursor=put(state.buffer.cursor, P()),
                 ep_count=put(state.buffer.ep_count, P()),

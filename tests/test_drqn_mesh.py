@@ -25,7 +25,7 @@ def test_sharded_drqn_iteration():
     learner = DRQNLearner(ENV, cfg, mesh=mesh)
     state = learner.shard_state(learner.init_state(jax.random.PRNGKey(0)))
     assert state.env_state.ball_x.sharding.spec == P("data")
-    assert state.buffer.obs.sharding.spec == P("data")
+    assert state.buffer.data.sharding.spec == P("data")
     assert state.hid_b.h.sharding.spec == P(None, "data")
     params_a = learner.init_params(jax.random.PRNGKey(1))
     opp, n = stack_rnn_opponents(params_a, [])
@@ -99,7 +99,7 @@ def test_multichip_fused_drqn_update_matches_single_chip():
         state = learner.init_state(jax.random.PRNGKey(0), params0)
         if mesh is not None:
             state = learner.shard_state(state)
-            assert state.buffer.obs.sharding.spec == P()   # replicated ring
+            assert state.buffer.data.sharding.spec == P()  # replicated ring
             assert state.env_state.ball_x.sharding.spec == P("data")
         opp, n = stack_rnn_opponents(params0, [])
         for _ in range(3):
