@@ -22,5 +22,5 @@ cp -r $D/checkpoints/scratch5-8      "$T/"
 
 timeout 10000 python -m pingpong_tpu.cli round-robin --workdir $D \
   --config configs/qnet.yaml \
-  --ckpt-dir tourney_ckpts --out results --episodes 300 --swap-sides
+  --ckpt-dir demo_league/tourney_ckpts --out demo_league/results --episodes 300 --swap-sides
 echo LEAGUE_TOURNEY_DONE
