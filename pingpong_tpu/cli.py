@@ -230,7 +230,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("round-robin", help="all-pairs tournament over checkpoints")
     _add_common(p)
-    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--ckpt-dir", default="checkpoints",
+                   help="checkpoint dir (relative to CWD, not --workdir)")
     p.add_argument("--out", default="results_round_robin")
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--no-bot", action="store_true")
@@ -240,7 +241,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("arena", help="persistent resumable tournament")
     _add_common(p)
-    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--ckpt-dir", default="checkpoints",
+                   help="checkpoint dir (relative to CWD, not --workdir)")
     p.add_argument("--db", default="arena_database.json")
     p.add_argument("--out", default="results_arena")
     p.add_argument("--episodes", type=int, default=100)

@@ -303,3 +303,14 @@ def test_two_stage_fetch_matches_direct_gather():
         assert found, f"window {i} not found as a contiguous ring span"
         ok += 1
     assert ok > 16
+
+
+def test_chunk_major_layout_engages_at_production_shapes():
+    from pingpong_tpu.replay.sequence import seq_init
+
+    assert seq_init(8, 2048).is_chunked          # prod ring
+    assert seq_init(8, 128).is_chunked           # smallest chunked ring
+    assert not seq_init(8, 96).is_chunked        # tiny test rings: flat
+    b = seq_init(4, 256)
+    assert b.data.shape == (4, 2, 2 * 128 * 10 // 2)
+    assert b.obs.shape == (4, 256, 7)            # logical view intact
