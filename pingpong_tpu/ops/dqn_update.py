@@ -319,7 +319,7 @@ def _update_kernel(
         rows_s[pl.ds(i, 1), :] = pa_ref[ci // LANE, pl.ds(ci % LANE, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, bs, fetch_body, 0)
+    jax.lax.fori_loop(0, bs, fetch_body, 0, unroll=bs)
 
     # within-chunk offset search (overlaps the DMA flight time)
     rcdf = _mm_hi(rows_s[...], tri128)
@@ -496,7 +496,7 @@ def _update_kernel(
         pa_ref[si, pl.ds(li, 1), :] = jnp.where(ohrow > 0.0, npa, parow)
         return 0
 
-    jax.lax.fori_loop(0, bs, rmw_body, 0)
+    jax.lax.fori_loop(0, bs, rmw_body, 0, unroll=bs)
     # refresh ALL chunk sums EXACTLY with one lane reduce over the fresh
     # plane — cheaper than per-sample masked row-sum RMWs on cs, and
     # self-correcting vs the XLA path's incremental deltas
