@@ -165,11 +165,19 @@ class DQNConfig:
     #     ((1-ratio) of envs vs A, the rest split evenly over the pool);
     #     an env re-binds to its bucket's member when its episode ends.
     #     Sort-free: no per-chunk argsort/gather, and every kernel tile
-    #     spans <= 2 members regardless of pool size. The per-episode
-    #     opponent MARGINAL equals the reference's draw exactly
-    #     (train_iterative.py:235-236) — stratified rather than iid
-    #     (each env's successive episodes face the same member within a
-    #     generation; the stack re-randomizes every generation).
+    #     spans <= 2 members regardless of pool size. Distributional
+    #     claim, stated precisely: the PER-ENV (and per-step) opponent
+    #     marginal equals the reference's iid draw
+    #     (train_iterative.py:235-236) exactly; the EPISODE-level mixture
+    #     can deviate, because with a fixed env->member binding each
+    #     member's share of completed episodes is weighted by its envs'
+    #     episode-completion rate, which correlates with opponent
+    #     strength (shorter games vs a member => more episodes vs it).
+    #     Also zero variance in per-member env counts (stratified, not
+    #     iid). Learning-dynamics A/B vs "sorted": demo_fidelity/.
+    #     Falls back to "sorted" (with a warning) when the pool bucket
+    #     span has fewer env lanes than pool members, which would starve
+    #     some members entirely (train/dqn.py::bucketed_covers_pool).
     #   "sorted" — iid per-episode draws (the reference's exact joint
     #     distribution); envs are argsorted by bound member each chunk.
     opponent_binding: str = "bucketed"

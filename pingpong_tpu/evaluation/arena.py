@@ -116,10 +116,12 @@ def run_tournament(
     (the reference saved per EPISODE, arena.py:310-319; per-pair was
     already this framework's documented deviation).
 
-    ``save_every=N`` restores finer crash granularity on the batched
-    path: the plan is split into slices of at most N episodes, each slice
-    runs as its own batched program, and the DB is saved after every
-    slice — at most N games are lost to a crash, and a rerun's
+    ``save_every=N`` restores finer crash granularity on either path:
+    the plan is split into slices of at most N episodes, each slice
+    runs as its own device program (batched: one program per slice;
+    sequential: one program per split job, saved after each), and the
+    DB is saved after every slice — at most N games are lost to a
+    crash, and a rerun's
     incremental match plan (create_match_plan) resumes from the last
     save. ``save_every=1`` is the reference's per-episode granularity
     (arena.py:310-319) at one device program per game."""
@@ -137,8 +139,10 @@ def run_tournament(
         for top, bottom, m in seatings:
             if m == 0:
                 continue
-            if batched and save_every > 0:
-                # split so no slice element exceeds the save budget
+            if save_every > 0:
+                # split so no slice element exceeds the save budget (on the
+                # sequential path each split job is played and saved on its
+                # own, so save_every bounds crash loss there too)
                 while m > save_every:
                     jobs.append((top, bottom, save_every))
                     job_pair.append((a.id, b.id, n))

@@ -165,6 +165,13 @@ class QNetSelfPlay:
                 "generation": self.current_generation,
                 "done_generations": self.done_generations,
                 "model_kind": "qnet",
+                # persist the frozen-A stale-noise draw so resume re-folds
+                # the identical noise (parity with the reference's noise
+                # buffers surviving until the next checkpoint load)
+                "a_fold_key": (
+                    [int(x) for x in jax.device_get(self._a_fold_key)]
+                    if self._a_fold_key is not None else None
+                ),
             },
         )
         self.logger.log({"event": "autosave",
@@ -183,7 +190,11 @@ class QNetSelfPlay:
         )
         self.current_generation = int(meta.get("generation", 0))
         self.done_generations = int(meta.get("done_generations", 0))
-        self._refresh_a_play()
+        saved_fold = meta.get("a_fold_key")
+        self._refresh_a_play(
+            fold_key=jnp.asarray(saved_fold, dtype=jnp.uint32)
+            if saved_fold is not None else None
+        )
         # continue the interrupted generation with the restored B (do not
         # start a fresh one at run() entry)
         self._resumed_mid_generation = (
@@ -191,24 +202,30 @@ class QNetSelfPlay:
         )
 
     # -- helpers -----------------------------------------------------------
-    def _refresh_a_play(self) -> None:
+    def _refresh_a_play(self, fold_key=None) -> None:
         """The A that actually PLAYS. With ``frozen_a_stale_noise`` the
         reference quirk applies: one noise draw per A-lifetime folded into
         the heads (train_iterative.py:86-104 leaves modelA in train mode
         with its checkpoint's noise buffers); refreshed only when A
         changes, exactly as the reference's buffers persist until the
-        next checkpoint load. Default: mu-greedy (clean A)."""
+        next checkpoint load. The draw's key is remembered (and persisted
+        in the autosave meta) so a resumed run re-folds the SAME noise —
+        an interrupted generation continues against a bit-identical A.
+        Default: mu-greedy (clean A)."""
         if self.cfg.selfplay.frozen_a_stale_noise:
             from pingpong_tpu.models.qnet import (
                 qnet_fold_noise,
                 qnet_sample_noise,
             )
 
-            self.key, k = jax.random.split(self.key)
+            if fold_key is None:
+                self.key, fold_key = jax.random.split(self.key)
+            self._a_fold_key = fold_key
             self.params_a_play = qnet_fold_noise(
-                self.params_a, qnet_sample_noise(k, self.params_a)
+                self.params_a, qnet_sample_noise(fold_key, self.params_a)
             )
         else:
+            self._a_fold_key = None
             self.params_a_play = self.params_a
 
     def _opp_stack(self):

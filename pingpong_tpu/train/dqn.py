@@ -153,14 +153,25 @@ class PreparedOpponents:
         return cls(children[0], children[1], aux)
 
 
+def bucketed_covers_pool(num_envs: int, ratio: float, n_members: int) -> bool:
+    """True when the pool-bucket span has at least one env lane per
+    member. ``bucket_opp_idx``'s even split gives some members ZERO envs
+    when ``span < n_members`` (small num_envs*ratio, large pool) — unlike
+    the reference's iid draw, which reaches every member — so callers
+    fall back to the "sorted" (iid) binding below this floor."""
+    boundary = int(round((1.0 - ratio) * num_envs))
+    return (num_envs - boundary) >= max(n_members, 1)
+
+
 def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array) -> Array:
     """Deterministic contiguous bucket assignment for
     ``opponent_binding="bucketed"``: the first ``round((1-ratio)*B)`` envs
     bind to frozen A (slot 0), the rest split evenly (within one env) over
-    the ``pool_size`` members. Matches the reference's per-episode
-    opponent MARGINAL (train_iterative.py:235-236) exactly, stratified
-    instead of iid — and is nondecreasing in env index, so kernel tiles
-    span <= 2 members with no argsort."""
+    the ``pool_size`` members. Matches the reference's PER-ENV/PER-STEP
+    opponent marginal (train_iterative.py:235-236) exactly — stratified
+    instead of iid; see config.schema.DQNConfig.opponent_binding for the
+    episode-mixture caveat — and is nondecreasing in env index, so kernel
+    tiles span <= 2 members with no argsort."""
     idx = jnp.arange(num_envs, dtype=jnp.int32)
     boundary = int(round((1.0 - ratio) * num_envs))
     span = max(num_envs - boundary, 1)
@@ -434,7 +445,9 @@ class DQNLearner:
             opp_idx = state.opp_idx
             env_state = state.env_state
             ep_return = state.ep_return
-        elif cfg.opponent_binding == "bucketed":
+        elif cfg.opponent_binding == "bucketed" and bucketed_covers_pool(
+            cfg.num_envs, cfg.selfplay.opponent_pool_ratio, n_slots - 1
+        ):
             # sort-free: envs re-bind into fixed contiguous buckets (see
             # bucket_opp_idx) — no argsort, no env-state gathers, and
             # every kernel tile spans <= 2 members at any pool size
@@ -446,7 +459,16 @@ class DQNLearner:
             ep_return = state.ep_return
         else:
             # "sorted": iid per-episode draws, envs argsorted by bound
-            # member so kernel tiles span short ranges
+            # member so kernel tiles span short ranges. Also the fallback
+            # when "bucketed" cannot give every member an env lane.
+            if cfg.opponent_binding == "bucketed":
+                import warnings
+
+                warnings.warn(
+                    "opponent_binding='bucketed' needs num_envs*ratio >= "
+                    f"pool members ({n_slots - 1}); falling back to "
+                    "'sorted' (iid) binding", stacklevel=2,
+                )
             use_pool = (
                 jax.random.uniform(k_gate, (cfg.num_envs,))
                 < cfg.selfplay.opponent_pool_ratio

@@ -69,6 +69,8 @@ from pingpong_tpu.replay.sequence import (
 
 Array = jax.Array
 
+from pingpong_tpu.train.dqn import bucketed_covers_pool as _bucketed_ok  # noqa: E402
+
 
 class DRQNTrainState(NamedTuple):
     key: Array
@@ -370,7 +372,9 @@ class DRQNLearner:
         sort_envs = False
         if n_slots == 1:
             opp_idx = state.opp_idx
-        elif cfg.opponent_binding == "bucketed":
+        elif cfg.opponent_binding == "bucketed" and _bucketed_ok(
+            cfg.num_envs, cfg.selfplay.opponent_pool_ratio, n_slots - 1
+        ):
             from pingpong_tpu.train.dqn import bucket_opp_idx
 
             target = bucket_opp_idx(
@@ -378,6 +382,14 @@ class DRQNLearner:
             )
             opp_idx = jnp.where(state.ended, target, state.opp_idx)
         else:
+            if cfg.opponent_binding == "bucketed":
+                import warnings
+
+                warnings.warn(
+                    "opponent_binding='bucketed' needs num_envs*ratio >= "
+                    f"pool members ({n_slots - 1}); falling back to "
+                    "'sorted' (iid) binding", stacklevel=2,
+                )
             use_pool = (
                 jax.random.uniform(k_gate, (cfg.num_envs,))
                 < cfg.selfplay.opponent_pool_ratio

@@ -161,3 +161,28 @@ def test_frozen_a_stale_noise_knob(tmp_path):
 
     saved = load_params_any(recs[0].checkpoint)
     assert np.asarray(saved.fc_a.w_sigma).any()
+
+
+def test_frozen_a_fold_persists_across_resume(tmp_path):
+    """ADVICE r4: a resumed run must re-fold the SAME stale-noise draw
+    into frozen A (the fold key rides the autosave meta), so the playing
+    A is bit-identical before and after a kill-and-restart."""
+    cfg = tiny_cfg(
+        frozen_a_stale_noise=True,
+        curr_win_threshold=0.0, pool_win_threshold=0.0,
+    )
+    d1 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                      logger=MetricsLogger(echo=False))
+    d1.current_generation = 1
+    d1._train_block(4)
+    d1.autosave()
+    play1 = jax.device_get(d1.params_a_play)
+
+    # different seed: without the persisted fold key the fresh driver
+    # would draw different noise
+    d2 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=99,
+                      logger=MetricsLogger(echo=False))
+    play2 = jax.device_get(d2.params_a_play)
+    for a, b in zip(jax.tree_util.tree_leaves(play1),
+                    jax.tree_util.tree_leaves(play2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -181,3 +181,35 @@ def test_bucketed_binding_mixes_opponents():
     target = np.asarray(bucket_opp_idx(64, 0.5, jnp.int32(n)))
     ended_all = np.asarray(state.ended)
     assert (oi[ended_all] == target[ended_all]).all()
+
+
+def test_bucketed_falls_back_when_span_starves_members():
+    """ADVICE r4: when the pool bucket span has fewer env lanes than pool
+    members, bucketed binding would never train against some members —
+    the learner must warn and fall back to the iid 'sorted' binding."""
+    import warnings
+
+    from pingpong_tpu.train.dqn import bucketed_covers_pool
+
+    assert bucketed_covers_pool(1000, 0.35, 4)
+    assert not bucketed_covers_pool(16, 0.25, 6)   # span 4 < 6 members
+
+    cfg = small_cfg(
+        num_envs=16, rollout_length=64, pool_max=6,
+        selfplay=SelfPlayConfig(opponent_pool_ratio=0.25),
+    )
+    assert cfg.opponent_binding == "bucketed"
+    learner = DQNLearner(EnvConfig(max_episode_steps=32), cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    pool = [qnet_init(jax.random.PRNGKey(10 + i)) for i in range(6)]
+    opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), pool,
+                             cfg.pool_max)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(6):
+            state, m = learner.train_iteration(state, opp, jnp.int32(n))
+    assert any("falling back to 'sorted'" in str(w.message) for w in caught)
+    # the iid fallback reaches members beyond the 4-lane bucket span:
+    # over enough episodes every member id shows up in the bindings
+    seen = set(np.asarray(state.opp_idx).tolist())
+    assert len(seen & set(range(1, 7))) >= 3
