@@ -129,6 +129,11 @@ class DQNConfig:
     # train_rnn_iterative.py:630-667); 0 disables.
     save_latest_checkpoint_interval_steps: int = 10_000
     latest_checkpoint_filename: str = "latest_qnet_training_state"
+    # Async autosave (SURVEY §5): the periodic full-state save snapshots
+    # on device (one jitted copy, sub-ms stall) and serializes + writes on
+    # a worker thread, off the train loop's critical path. False = the
+    # synchronous Orbax write (stalls the loop for the full serialize).
+    async_autosave: bool = True
     # Retention/GC (framework addition; reference keeps every checkpoint
     # forever): newest N promoted / fault checkpoints to keep, 0 = keep
     # all. The latest autosave and the init_model_path are never deleted.
@@ -239,6 +244,8 @@ class DRQNConfig:
     plot_dir_rnn: str = "plot_rnn"
     save_latest_checkpoint_interval_steps: int = 10_000
     latest_checkpoint_filename: str = "latest_rnn_training_state"
+    # Async autosave — see DQNConfig.async_autosave.
+    async_autosave: bool = True
     # Retention/GC, as in DQNConfig (0 = keep all, reference parity).
     keep_checkpoints: int = 0
     keep_fault_checkpoints: int = 0

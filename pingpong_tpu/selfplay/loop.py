@@ -129,6 +129,9 @@ class QNetSelfPlay:
             self.env_params, PolicySpec(QNET, None), PolicySpec(QNET, None)
         )
 
+        from pingpong_tpu.checkpoint.orbax_io import AsyncAutosaver
+
+        self._autosaver = AsyncAutosaver()
         self.win_a_window = WinRateWindow(cfg.selfplay.win_rate_interval)
         self.win_pool_window = WinRateWindow(cfg.selfplay.win_rate_interval)
         self.records: List[GenerationRecord] = []
@@ -152,31 +155,46 @@ class QNetSelfPlay:
                                  "error": str(e)})
 
     # -- full-state autosave / restore --------------------------------------
-    def autosave(self) -> str:
+    def autosave(self, wait: bool = False) -> str:
+        """Full-state autosave. Default (``cfg.async_autosave``): a sub-ms
+        on-device snapshot, serialized + written on a worker thread off
+        the train loop (SURVEY §5 async-Orbax). ``wait=True`` blocks until
+        the file is durably on disk (final save, tests)."""
         from pingpong_tpu.checkpoint.orbax_io import autosave_full_state
         from pingpong_tpu.parallel.mesh import is_coordinator
 
         if not is_coordinator():   # host-0 owns all checkpoint writes
             return str(self.ckpt_dir / self.cfg.latest_checkpoint_filename)
-        path = autosave_full_state(
-            self.ckpt_dir / self.cfg.latest_checkpoint_filename,
-            self.state, self.params_a, self.key,
-            {
-                "generation": self.current_generation,
-                "done_generations": self.done_generations,
-                "model_kind": "qnet",
-                # persist the frozen-A stale-noise draw so resume re-folds
-                # the identical noise (parity with the reference's noise
-                # buffers surviving until the next checkpoint load)
-                "a_fold_key": (
-                    [int(x) for x in jax.device_get(self._a_fold_key)]
-                    if self._a_fold_key is not None else None
-                ),
-            },
-        )
+        target = self.ckpt_dir / self.cfg.latest_checkpoint_filename
+        meta = {
+            "generation": self.current_generation,
+            "done_generations": self.done_generations,
+            "model_kind": "qnet",
+            # persist the frozen-A stale-noise draw so resume re-folds
+            # the identical noise (parity with the reference's noise
+            # buffers surviving until the next checkpoint load)
+            "a_fold_key": (
+                [int(x) for x in jax.device_get(self._a_fold_key)]
+                if self._a_fold_key is not None else None
+            ),
+        }
+        if self.cfg.async_autosave:
+            path = self._autosaver.save(
+                target, (self.state, self.params_a, self.key), meta
+            )
+            if wait:
+                self._autosaver.wait()
+        else:
+            path = autosave_full_state(
+                target, self.state, self.params_a, self.key, meta
+            )
         self.logger.log({"event": "autosave",
                          "train_steps": int(self.state.train_steps)})
         return str(path)
+
+    def flush_autosave(self) -> None:
+        """Join any in-flight async autosave write."""
+        self._autosaver.wait()
 
     def _restore_full_state(self, path) -> None:
         from pingpong_tpu.checkpoint.orbax_io import restore_full_state
@@ -483,5 +501,6 @@ class QNetSelfPlay:
                     self.done_generations += 1
                     break
         if self.cfg.save_latest_checkpoint_interval_steps > 0:
-            self.autosave()
+            self.autosave(wait=True)
+        self.flush_autosave()
         return self.records

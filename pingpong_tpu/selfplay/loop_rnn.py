@@ -85,6 +85,10 @@ class DRQNSelfPlay:
             self.ckpt_dir, kind="qnet_rnn", skip_fault=True, limit=cfg.pool_max
         )
 
+        from pingpong_tpu.checkpoint.orbax_io import AsyncAutosaver
+
+        self._autosaver = AsyncAutosaver()
+
         # ---- 3-tier restore -------------------------------------------------
         self.done_generations = 0
         self.current_generation = 0
@@ -128,27 +132,40 @@ class DRQNSelfPlay:
             self.logger.log({"event": "restore", "tier": 3})
 
     # -- full-state autosave / restore (ref :630-667, :237-290) -------------
-    def autosave(self) -> str:
+    def autosave(self, wait: bool = False) -> str:
         """Orbax full-state autosave: the ENTIRE train state — sequence
         ring buffer, env states, hidden states, optimizer, counters — plus
         frozen A and the host key (exceeds ref :630-667, which loses the
-        replay memory on restart)."""
+        replay memory on restart). Default (``cfg.async_autosave``): the
+        serialize + write run on a worker thread off the train loop;
+        ``wait=True`` blocks until the file is durably on disk."""
         from pingpong_tpu.checkpoint.orbax_io import autosave_full_state
         from pingpong_tpu.parallel.mesh import is_coordinator
 
         if not is_coordinator():   # host-0 owns all checkpoint writes
             return str(self.ckpt_dir / self.cfg.latest_checkpoint_filename)
-        path = autosave_full_state(
-            self.ckpt_dir / self.cfg.latest_checkpoint_filename,
-            self.state, self.params_a, self.key,
-            {
-                "generation": self.current_generation,
-                "done_generations": self.done_generations,
-                "model_kind": "qnet_rnn",
-            },
-        )
+        target = self.ckpt_dir / self.cfg.latest_checkpoint_filename
+        meta = {
+            "generation": self.current_generation,
+            "done_generations": self.done_generations,
+            "model_kind": "qnet_rnn",
+        }
+        if self.cfg.async_autosave:
+            path = self._autosaver.save(
+                target, (self.state, self.params_a, self.key), meta
+            )
+            if wait:
+                self._autosaver.wait()
+        else:
+            path = autosave_full_state(
+                target, self.state, self.params_a, self.key, meta
+            )
         self.logger.log({"event": "autosave", "train_steps": int(self.state.train_steps)})
         return str(path)
+
+    def flush_autosave(self) -> None:
+        """Join any in-flight async autosave write."""
+        self._autosaver.wait()
 
     def _restore_full_state(self, path) -> None:
         from pingpong_tpu.checkpoint.orbax_io import (
@@ -396,5 +413,6 @@ class DRQNSelfPlay:
                     )
                     self.done_generations += 1
                     break
-        self.autosave()
+        self.autosave(wait=True)
+        self.flush_autosave()
         return self.records

@@ -107,7 +107,7 @@ def test_tier0_full_state_resume_mid_generation(tmp_path):
     d1.current_generation = 2
     d1.done_generations = 1
     d1._train_block(4)
-    d1.autosave()
+    d1.autosave(wait=True)
     saved_leaves = jax.tree_util.tree_leaves(jax.device_get(d1.state))
 
     d2 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=7,
@@ -175,7 +175,7 @@ def test_frozen_a_fold_persists_across_resume(tmp_path):
                       logger=MetricsLogger(echo=False))
     d1.current_generation = 1
     d1._train_block(4)
-    d1.autosave()
+    d1.autosave(wait=True)
     play1 = jax.device_get(d1.params_a_play)
 
     # different seed: without the persisted fold key the fresh driver
@@ -185,4 +185,34 @@ def test_frozen_a_fold_persists_across_resume(tmp_path):
     play2 = jax.device_get(d2.params_a_play)
     for a, b in zip(jax.tree_util.tree_leaves(play1),
                     jax.tree_util.tree_leaves(play2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_autosave_snapshot_is_donation_safe(tmp_path):
+    """VERDICT r4 item 2: the async autosave snapshots the state AT CALL
+    TIME; continuing to train (which DONATES the live state's buffers to
+    the next jitted iteration) must not corrupt the in-flight write. The
+    restored state equals the state when save() was called, not the
+    later one."""
+    cfg = tiny_cfg(curr_win_threshold=0.0, pool_win_threshold=0.0)
+    assert cfg.async_autosave
+    d1 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=0,
+                      logger=MetricsLogger(echo=False))
+    d1.current_generation = 1
+    d1._train_block(4)
+    at_save = jax.tree_util.tree_leaves(jax.device_get(d1.state))
+    d1.autosave()               # async: returns with the write in flight
+    d1._train_block(4)          # donates + overwrites the live buffers
+    d1.flush_autosave()
+    after = jax.tree_util.tree_leaves(jax.device_get(d1.state))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(at_save, after)
+    )
+
+    d2 = QNetSelfPlay(ENV, cfg, workdir=str(tmp_path), seed=5,
+                      logger=MetricsLogger(echo=False))
+    restored = jax.tree_util.tree_leaves(jax.device_get(d2.state))
+    assert len(at_save) == len(restored)
+    for a, b in zip(at_save, restored):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

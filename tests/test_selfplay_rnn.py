@@ -117,7 +117,7 @@ def test_tier1_mid_generation_resume_keeps_b(tmp_path):
     d1.current_generation = 2
     d1.done_generations = 1
     d1._train_block(4)
-    d1.autosave()
+    d1.autosave(wait=True)
     b_saved = jax.device_get(d1.state.params_b)
     steps_saved = int(d1.state.train_steps)
 
