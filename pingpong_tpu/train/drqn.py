@@ -161,6 +161,17 @@ class DRQNLearner:
             and supports_pallas_update(cfg)
             and jax.default_backend() == "tpu"
         )
+        if (cfg.use_pallas_update and cfg.burn_in_length > 0
+                and jax.default_backend() == "tpu"):
+            import warnings
+
+            warnings.warn(
+                "burn_in_length > 0 is served by the exact XLA update "
+                "path, not the fused Pallas block — measured 1.42x "
+                "slower iteration at the bench config (87M -> 61M "
+                "env-steps/s; docs/ROOFLINE.md burn-in pricing). Set "
+                "burn_in_length=0 for the fast path.", stacklevel=2,
+            )
         # Multi-chip learner design: REPLICATED (same rationale as
         # train/dqn.py): the sequence ring replicates across chips, the
         # rollout chunk is all-gathered into it once per iteration, the
