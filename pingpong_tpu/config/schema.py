@@ -186,6 +186,26 @@ class DQNConfig:
     #   "sorted" — iid per-episode draws (the reference's exact joint
     #     distribution); envs are argsorted by bound member each chunk.
     opponent_binding: str = "bucketed"
+    # Multi-chip learner layout over the mesh's data axis:
+    #   "replicated" — every chip keeps the full replay ring and runs the
+    #     identical fused update block; the rollout chunk is all-gathered
+    #     once per iteration. Zero collectives on the serial update
+    #     chain, bit-equal to single-chip; per-chip update cost and
+    #     replay HBM do NOT shrink with chip count and the all-gather
+    #     grows linearly with it.
+    #   "sharded" — the replay ring, priority planes, and update compute
+    #     shard over 'data': each chip keeps only its own envs'
+    #     experience (no all-gather), samples batch_size/n rows per
+    #     update from its LOCAL PER distribution (stratified proposal
+    #     P(i) = (1/n) p_i^a / mass_shard with the exact importance
+    #     weight — see train/dqn.py::_push_update_sharded), and one
+    #     psum+pmax round per update synchronizes the replicated Adam
+    #     step. Per-chip update FLOPs and replay HBM scale ~1/n;
+    #     per-update collective cost is constant in n.
+    #   "auto" (default) — "replicated" up to 16 chips (the fused-block
+    #     latency advantage dominates), "sharded" above (the all-gather
+    #     crossover; cost model in docs/PODRUN.md).
+    learner_sharding: str = "auto"
     num_envs: int = 4096            # lockstep env batch, sharded over 'data'
     rollout_length: int = 64        # env steps per jitted iteration
     updates_per_iteration: int = 64 # SGD steps per iteration; ref does 1 SGD
@@ -277,6 +297,18 @@ class DRQNConfig:
     # un-permute of the whole transition chunk (the sequence ring is
     # per-env), which the sorted path pays every iteration.
     opponent_binding: str = "bucketed"
+    # Multi-chip learner layout ("replicated" | "sharded" | "auto") —
+    # see DQNConfig.learner_sharding. For the recurrent trainer the
+    # sharded mode keeps each chip's sequence ring local to its own envs
+    # (no chunk all-gather, ring HBM ~1/n), samples batch_size/n windows
+    # per update from the local ring (exact: the global window-uniform
+    # rule is uniform over envs, and envs split evenly over shards —
+    # stratification is bias-free), and runs one grad psum per update
+    # with the masked-mean numerator/denominator reduced globally.
+    # Requires episode_uniform_sampling=False (the episode directory is
+    # global bookkeeping; sharded mode falls back to "replicated" with a
+    # warning when the knob is on).
+    learner_sharding: str = "auto"
     num_envs: int = 1024
     rollout_length: int = 128
     updates_per_iteration: int = 32

@@ -307,14 +307,22 @@ def per_push(buf: PERBuffer, batch: Transition, alpha: float) -> PERBuffer:
 
 def per_sample(
     buf: PERBuffer, key: Array, batch_size: int, beta: Array,
-    u01: Array = None,
+    u01: Array = None, normalize: bool = True,
 ) -> PERSample:
     """Two-level prioritized sample with importance weights. (alpha is
     baked into the cached ``p_alpha`` at write time — pushes and priority
     updates take it as an argument.) ``u01`` optionally supplies the
     pre-generated U[0,1) batch — callers looping K updates generate all K
     batches in one op outside the loop, keeping PRNG kernels off the
-    serialized update chain."""
+    serialized update chain.
+
+    ``normalize=False`` returns the RAW ``(N * P(i))^-beta`` weights
+    (no batch-max normalization). The sharded learner mode
+    (train/dqn.py::_push_update_sharded) needs this: each shard's raw
+    local weight IS the exact stratified-proposal importance weight —
+    ``N_glob * P_tilde(i) = (n * N_loc) * (1/n) * p_i^a / mass_loc =
+    N_loc * p_i^a / mass_loc``, the n's cancel — and the normalizer must
+    be the GLOBAL batch max (a pmax outside this function)."""
     cap = buf.prios.shape[0]
     chunk = _chunk_of(buf)
     n_chunks = cap // chunk
@@ -341,7 +349,8 @@ def per_sample(
     probs = buf.p_alpha[idx] / jnp.maximum(total, 1e-30)
     n = buf.size.astype(jnp.float32)
     weights = (n * jnp.maximum(probs, 1e-30)) ** (-beta)
-    weights = weights / jnp.maximum(jnp.max(weights), 1e-30)
+    if normalize:
+        weights = weights / jnp.maximum(jnp.max(weights), 1e-30)
     d = buf.obs_dim
     if buf.is_block:
         fields = buf.data[idx // 128, :, idx % 128]     # (bs, 2d+2)

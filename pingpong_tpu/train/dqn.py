@@ -227,17 +227,52 @@ class DQNLearner:
             and supports_pallas_dqn_update(cfg)
             and jax.default_backend() == "tpu"
         )
-        # Multi-chip learner design: REPLICATED. The PER sampler needs the
-        # global priority distribution, and the whole update block is a
-        # tiny, latency-bound serial chain (~30KB of parameters, 66us per
-        # update on v5e) — sharding it would trade one all-gather for K
-        # per-update collectives on that chain. Instead the replay buffer
-        # replicates (shard_state), the rollout chunk is all-gathered into
-        # it once per iteration (GSPMD inserts the collective at the
-        # per_push write), and every chip runs the IDENTICAL fused update
-        # block — bit-equal to the single-chip program, zero collectives on
-        # the serial chain. Actors (env batch, rollout kernel) stay sharded
-        # over 'data'. See docs/PODRUN.md for the cost model.
+        # Multi-chip learner design — two modes (cfg.learner_sharding,
+        # cost model in docs/PODRUN.md):
+        #
+        # REPLICATED (default up to 16 chips): the replay buffer
+        # replicates (shard_state), the rollout chunk is all-gathered
+        # into it once per iteration (GSPMD inserts the collective at
+        # the per_push write), and every chip runs the IDENTICAL fused
+        # update block — bit-equal to the single-chip program, zero
+        # collectives on the tiny latency-bound update chain (~30KB of
+        # parameters, ~22us per update on v5e). Per-chip update cost and
+        # replay HBM do not shrink with n; the all-gather grows linearly.
+        #
+        # SHARDED (default above 16 chips; round-4 VERDICT item 1): the
+        # ring, priority planes, and update compute shard over 'data' —
+        # no all-gather, per-chip update FLOPs and replay HBM ~1/n, one
+        # psum+pmax round per update (constant in n). Runs the exact XLA
+        # update math per shard (_push_update_sharded); the fused Mosaic
+        # block cannot host the per-update cross-chip collective.
+        #
+        # Actors (env batch, rollout kernel) shard over 'data' in both.
+        mode = cfg.learner_sharding
+        if mode not in ("auto", "replicated", "sharded"):
+            raise ValueError(f"unknown learner_sharding={mode!r}")
+        ndata = 1 if mesh is None else mesh.shape[data_axis]
+        self._learner_sharded = False
+        if ndata > 1 and (mode == "sharded"
+                          or (mode == "auto" and ndata > 16)):
+            div_ok = (
+                cfg.num_envs % ndata == 0
+                and cfg.batch_size % ndata == 0
+                and cfg.memory_size % (128 * ndata) == 0
+            )
+            if div_ok:
+                self._learner_sharded = True
+                # sharded mode uses the XLA update math per shard: row
+                # replay layout, no fused block
+                self._pallas_update_ok = False
+            elif mode == "sharded":
+                import warnings
+
+                warnings.warn(
+                    "learner_sharding='sharded' needs num_envs and "
+                    "batch_size divisible by the data-axis size and "
+                    "memory_size divisible by 128*n; falling back to "
+                    "'replicated'", stacklevel=2,
+                )
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
         from pingpong_tpu.ops.actor_rollout import pack_qnet
@@ -404,7 +439,7 @@ class DQNLearner:
 
     # -- rollout (Pallas fused fast path) ----------------------------------
     def _rollout_pallas(self, state: DQNTrainState, opp_stack: QNetParams,
-                        pool_size: Array):
+                        pool_size: Array, push: bool = True):
         """Whole rollout chunk as one Pallas kernel (config
         ``use_pallas_rollout``). Fidelity notes vs the reference/XLA path:
 
@@ -553,13 +588,10 @@ class DQNLearner:
                 env_state, opp_idx, ep_return, lw, ow, seed,
                 state.epsilon, pool_size, 0,
             )
-        flat = Transition(
-            obs=tr["obs"].reshape(-1, tr["obs"].shape[-1]),
-            action=tr["action"].reshape(-1),
-            reward=tr["reward"].reshape(-1),
-            next_obs=tr["next_obs"].reshape(-1, tr["next_obs"].shape[-1]),
-            done=tr["done"].reshape(-1),
-        )
+        traj = Transition(
+            obs=tr["obs"], action=tr["action"], reward=tr["reward"],
+            next_obs=tr["next_obs"], done=tr["done"],
+        )                                   # (T, B, ...) — B stays sharded
         n_done = stat_counts[0] + stat_counts[2]
         epsilon = jnp.maximum(
             jnp.float32(cfg.min_epsilon),
@@ -573,14 +605,26 @@ class DQNLearner:
             ended=ended,
             epsilon=epsilon,
             episodes=state.episodes + n_done,
-            buffer=per_push(state.buffer, flat, cfg.per_alpha),
+        )
+        if not push:
+            # sharded-learner mode: the chunk is pushed per-shard inside
+            # _push_update_sharded — returning it UNflattened keeps the
+            # env axis sharded (a (T*B, .) flatten would interleave
+            # shards and force a relayout collective)
+            return state, stat_counts, ret_sum, traj
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), traj
+        )
+        state = state._replace(
+            buffer=per_push(state.buffer, flat, cfg.per_alpha)
         )
         return state, stat_counts, ret_sum
 
     # -- rollout -----------------------------------------------------------
-    def _rollout(self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array):
+    def _rollout(self, state: DQNTrainState, opp_stack: QNetParams,
+                 pool_size: Array, push: bool = True):
         if self.cfg.use_pallas_rollout:
-            return self._rollout_pallas(state, opp_stack, pool_size)
+            return self._rollout_pallas(state, opp_stack, pool_size, push)
         if isinstance(opp_stack, PreparedOpponents):
             opp_stack = opp_stack.raw
         cfg = self.cfg
@@ -660,10 +704,6 @@ class DQNLearner:
             step_fn, carry0, None, length=cfg.rollout_length
         )
         key, env_state, opp_idx, ep_return, epsilon, episodes = carry
-        # (T, B, ...) -> (T*B, ...): time-major flatten keeps temporal order
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), traj
-        )
         state = state._replace(
             key=key,
             env_state=env_state,
@@ -671,6 +711,14 @@ class DQNLearner:
             ep_return=ep_return,
             epsilon=epsilon,
             episodes=episodes,
+        )
+        if not push:
+            return state, jnp.sum(stats, axis=0), jnp.sum(ret_sums), traj
+        # (T, B, ...) -> (T*B, ...): time-major flatten keeps temporal order
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), traj
+        )
+        state = state._replace(
             buffer=per_push(state.buffer, flat, self.cfg.per_alpha),
         )
         return state, jnp.sum(stats, axis=0), jnp.sum(ret_sums)
@@ -812,6 +860,190 @@ class DQNLearner:
         )
         return state, mean_loss, n_ran
 
+    # -- sharded learner: per-shard push + K updates -----------------------
+    def _push_update_sharded(self, state: DQNTrainState, traj: Transition):
+        """Sharded-PER learner (``learner_sharding="sharded"``; the
+        docs/PODRUN.md design, round-4 VERDICT item 1). Per shard of the
+        ``data`` axis, under one ``shard_map``:
+
+        * the shard's OWN rollout chunk is pushed into its LOCAL ring —
+          no experience all-gather, replay HBM ~1/n per chip;
+        * each update samples ``batch_size/n`` rows from the local PER
+          distribution via the existing inverse-CDF (``per_sample``),
+          run shard-locally. The proposal is STRATIFIED:
+          ``P_tilde(i) = (1/n) p_i^a / mass_shard``; its exact
+          importance weight ``(N_glob P_tilde(i))^-beta`` equals the
+          local raw PER weight (the n's cancel — see per_sample), so
+          the estimator is the standard PER partial-correction
+          estimator under a stratified proposal: identical expectation
+          to the replicated sampler at beta=1 for ANY loss, identical
+          sampling distribution whenever shard masses are equal, and
+          stratification is a variance reduction, not a bias
+          (tests/test_sharded_learner.py quantifies all three);
+        * the per-update serial chain carries ONE collective round: the
+          raw-weighted partial gradients and loss psum, the local weight
+          maxima pmax (the batch-max normalizer is linear in the
+          gradient, so normalization follows the psum);
+        * priority write-back is shard-local; Adam runs replicated on
+          the psum'd gradient (bit-identical across shards).
+
+        Semantics source: train_iterative.py:49-76,132-168."""
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg
+        ax = self.data_axis
+        n = self.mesh.shape[ax]
+        bs_local = cfg.batch_size // n
+        bs = cfg.batch_size
+        K = cfg.updates_per_iteration
+        flat_b0, unravel = self._flat_util(state.params_b)
+        flat_t0, _ = self._flat_util(state.target_b)
+        grad_mask = self._grad_mask
+        tx = self.tx(None)
+
+        key, k_noise, k_u = jax.random.split(state.key, 3)
+        # per-update noise is GLOBAL (the whole batch of update k flows
+        # through one noise draw, as in the replicated path); the sample
+        # uniforms are per-shard (k_u folded with the shard index inside)
+        noise_all = jax.vmap(
+            lambda k: qnet_sample_noise(k, state.params_b)
+        )(jax.random.split(k_noise, K))
+        noise2_all = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, jnp.zeros_like(x)], axis=1), noise_all
+        )
+
+        buf = state.buffer
+        opt_leaves, opt_def = jax.tree_util.tree_flatten(state.opt_state)
+
+        def shard_fn(flat_b0, flat_t0, opt_leaves, data, prios, p_alpha,
+                     chunk_sums, pos, size, traj, noise2_all, k_u,
+                     grad_mask, train_steps0, frame0):
+            me = jax.lax.axis_index(ax)
+            u_all = jax.random.uniform(
+                jax.random.fold_in(k_u, me), (K, bs_local), jnp.float32
+            )
+            buffer = PERBuffer(data=data, prios=prios, p_alpha=p_alpha,
+                               chunk_sums=chunk_sums, pos=pos, size=size)
+            flat_tr = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), traj
+            )
+            buffer = per_push(buffer, flat_tr, cfg.per_alpha)
+            opt_state = jax.tree_util.tree_unflatten(opt_def, opt_leaves)
+
+            def do_update(carry, xs):
+                flat_b, flat_t, opt_state, buffer, train_steps, frame = carry
+                noise2, u01 = xs
+                frame = frame + 1
+                beta = beta_schedule(
+                    frame, cfg.per_beta_start, cfg.per_beta_frames
+                )
+                sample = per_sample(
+                    buffer, None, bs_local, beta, u01=u01, normalize=False
+                )
+                tr = sample.batch
+                d = buffer.obs_dim
+                pairs = sample.data[:, : 2 * d].reshape(2 * bs_local, d)
+                nexts = sample.data[:, d: 2 * d]
+                x2 = jnp.stack([pairs, jnp.concatenate([nexts, nexts])])
+                w_raw = sample.weights          # exact stratified-IS raw
+
+                def loss_fn(flat):
+                    both = jax.vmap(unravel)(jnp.stack([flat, flat_t]))
+                    q2 = jax.vmap(qnet_apply)(both, x2, noise2)
+                    q = q2[0, 0::2]
+                    q_a = jnp.take_along_axis(
+                        q, tr.action[:, None], axis=-1
+                    )[:, 0]
+                    na = jnp.argmax(q2[0, 1::2], axis=-1)
+                    nq = jnp.take_along_axis(
+                        q2[1, :bs_local], na[:, None], axis=-1
+                    )[:, 0]
+                    y = tr.reward + cfg.gamma * nq * (
+                        1.0 - tr.done.astype(jnp.float32)
+                    )
+                    td = q_a - jax.lax.stop_gradient(y)
+                    # UNnormalized local partial sum; the global
+                    # (1/(bs*wmax)) scale follows the collectives
+                    return jnp.sum(w_raw * td * td), jnp.abs(td)
+
+                (raw_sum, td_abs), g_raw = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(flat_b)
+                # ONE collective round on the serial chain
+                g_sum, loss_sum = jax.lax.psum((g_raw, raw_sum), ax)
+                wmax = jax.lax.pmax(jnp.max(w_raw), ax)
+                scale = 1.0 / (bs * jnp.maximum(wmax, 1e-30))
+                updates, opt_state = tx.update(
+                    g_sum * scale * grad_mask, opt_state, flat_b
+                )
+                flat_b = optax.apply_updates(flat_b, updates)
+                buffer = per_update_priorities(
+                    buffer, sample.indices, td_abs, cfg.per_alpha,
+                    cfg.per_eps,
+                )
+                train_steps = train_steps + 1
+                if cfg.target_tau > 0.0:
+                    flat_t = flat_t + cfg.target_tau * (flat_b - flat_t)
+                else:
+                    sync = (train_steps % cfg.target_update_interval) == 0
+                    flat_t = jnp.where(sync, flat_b, flat_t)
+                return (flat_b, flat_t, opt_state, buffer, train_steps,
+                        frame), loss_sum * scale
+
+            carry0 = (flat_b0, flat_t0, opt_state, buffer, train_steps0,
+                      frame0)
+            # readiness is constant across the block (size set by the
+            # push above, identical on every shard): one cond outside
+            ready = buffer.size >= bs_local
+
+            def run_all(carry):
+                return jax.lax.scan(
+                    do_update, carry, (noise2_all, u_all), length=K
+                )
+
+            def skip_all(carry):
+                return carry, jnp.zeros((K,), jnp.float32)
+
+            carry, losses = jax.lax.cond(ready, run_all, skip_all, carry0)
+            flat_b, flat_t, opt_state, buffer, train_steps, frame = carry
+            n_ran = jnp.where(ready, K, 0).astype(jnp.int32)
+            return (flat_b, flat_t,
+                    jax.tree_util.tree_leaves(opt_state),
+                    buffer.data, buffer.prios, buffer.p_alpha,
+                    buffer.chunk_sums, buffer.pos, buffer.size,
+                    train_steps, frame, losses, n_ran)
+
+        d3 = P(None, ax, None)
+        d2 = P(None, ax)
+        traj_spec = Transition(obs=d3, action=d2, reward=d2,
+                               next_obs=d3, done=d2)
+        (flat_b, flat_t, opt_leaves2, bdata, bprios, bpa, bcs, bpos,
+         bsize, train_steps, frame, losses, n_ran) = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(ax), P(ax), P(ax), P(ax), P(), P(),
+                      traj_spec, P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(ax), P(ax), P(ax), P(ax), P(), P(),
+                       P(), P(), P(), P()),
+            check_vma=False,
+        )(flat_b0, flat_t0, opt_leaves, buf.data, buf.prios, buf.p_alpha,
+          buf.chunk_sums, buf.pos, buf.size, traj, noise2_all, k_u,
+          grad_mask, state.train_steps, state.frame_idx)
+
+        state = state._replace(
+            key=key,
+            params_b=unravel(flat_b),
+            target_b=unravel(flat_t),
+            opt_state=jax.tree_util.tree_unflatten(opt_def, opt_leaves2),
+            buffer=PERBuffer(data=bdata, prios=bprios, p_alpha=bpa,
+                             chunk_sums=bcs, pos=bpos, size=bsize),
+            train_steps=train_steps,
+            frame_idx=frame,
+        )
+        mean_loss = jnp.sum(losses) / jnp.maximum(
+            n_ran.astype(jnp.float32), 1.0
+        )
+        return state, mean_loss, n_ran
+
     # -- learner update ----------------------------------------------------
     def _update(self, state: DQNTrainState):
         """K Double-DQN updates. The scan carries the RAVELED online/target
@@ -923,8 +1155,14 @@ class DQNLearner:
         self, state: DQNTrainState, opp_stack: QNetParams, pool_size: Array
     ) -> Tuple[DQNTrainState, DQNMetrics]:
         ep_before = state.episodes
-        state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
-        state, mean_loss, n_ran = self._update(state)
+        if self._learner_sharded:
+            state, stats, ret_sum, traj = self._rollout(
+                state, opp_stack, pool_size, push=False
+            )
+            state, mean_loss, n_ran = self._push_update_sharded(state, traj)
+        else:
+            state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
+            state, mean_loss, n_ran = self._update(state)
         metrics = DQNMetrics(
             episodes=state.episodes - ep_before,
             games_vs_a=stats[0],
@@ -936,7 +1174,12 @@ class DQNLearner:
             updates_run=n_ran,
             epsilon=state.epsilon,
             train_steps=state.train_steps,
-            buffer_size=state.buffer.size,
+            # sharded mode: buffer.size counts the LOCAL ring; report the
+            # global fill (shards stay symmetric, pushes are lockstep)
+            buffer_size=state.buffer.size * (
+                self.mesh.shape[self.data_axis] if self._learner_sharded
+                else 1
+            ),
             env_steps=jnp.int32(self.cfg.rollout_length * self.cfg.num_envs),
         )
         return state, metrics

@@ -172,14 +172,43 @@ class DRQNLearner:
                 "env-steps/s; docs/ROOFLINE.md burn-in pricing). Set "
                 "burn_in_length=0 for the fast path.", stacklevel=2,
             )
-        # Multi-chip learner design: REPLICATED (same rationale as
-        # train/dqn.py): the sequence ring replicates across chips, the
-        # rollout chunk is all-gathered into it once per iteration, the
-        # global window sample and the fused update block then run
-        # identically on every chip — bit-equal to the single-chip
-        # program with zero collectives on the serial update chain.
-        # (All-gathering the pushed CHUNK is ~100x cheaper than letting
-        # GSPMD gather the whole ring at each update-block sample.)
+        # Multi-chip learner design — two modes (cfg.learner_sharding;
+        # rationale mirrors train/dqn.py):
+        # REPLICATED (default <= 16 chips): the sequence ring replicates,
+        # the rollout chunk is all-gathered into it once per iteration,
+        # window sample + fused update block run identically on every
+        # chip — bit-equal to single-chip, zero collectives on the serial
+        # update chain. (All-gathering the pushed CHUNK is ~100x cheaper
+        # than letting GSPMD gather the whole ring at each sample.)
+        # SHARDED (default above 16): each chip's ring holds only its own
+        # envs' traces (no all-gather, ring HBM ~1/n), every update
+        # samples batch_size/n windows locally — exact, since the global
+        # window-uniform rule is uniform over envs and envs split evenly
+        # over shards — and one psum per update reduces the gradients and
+        # the masked-mean numerator/denominator (_push_update_sharded).
+        mode = cfg.learner_sharding
+        if mode not in ("auto", "replicated", "sharded"):
+            raise ValueError(f"unknown learner_sharding={mode!r}")
+        ndata = 1 if mesh is None else mesh.shape[data_axis]
+        self._learner_sharded = False
+        if ndata > 1 and (mode == "sharded"
+                          or (mode == "auto" and ndata > 16)):
+            div_ok = (cfg.num_envs % ndata == 0
+                      and cfg.batch_size % ndata == 0)
+            if cfg.episode_uniform_sampling or not div_ok:
+                if mode == "sharded":
+                    import warnings
+
+                    warnings.warn(
+                        "learner_sharding='sharded' needs num_envs and "
+                        "batch_size divisible by the data-axis size and "
+                        "episode_uniform_sampling=False (the episode "
+                        "directory is global bookkeeping); falling back "
+                        "to 'replicated'", stacklevel=2,
+                    )
+            else:
+                self._learner_sharded = True
+                self._pallas_update_ok = False
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
         from pingpong_tpu.ops.recurrent_rollout import pack_qnet_rnn
@@ -344,7 +373,7 @@ class DRQNLearner:
 
     # -- rollout (Pallas fused fast path) ------------------------------------
     def _rollout_pallas(self, state: DRQNTrainState, opp_stack: QNetRNNParams,
-                        pool_size: Array):
+                        pool_size: Array, push: bool = True):
         """Whole recurrent rollout chunk as one Pallas kernel (config
         ``use_pallas_rollout``; see ops/recurrent_rollout.py). Fidelity
         notes mirror train/dqn.py::_rollout_pallas: epsilon decays once
@@ -507,14 +536,8 @@ class DRQNLearner:
         if sort_envs:
             hid_out = hid_out[:, inv]
         H = cfg.lstm_hidden_dim
-        buffer = seq_push_rollout(
-            state.buffer,
-            unperm_t(tr["obs"]),
-            unperm_t(tr["action"]),
-            unperm_t(tr["reward"]),
-            unperm_t(tr["done"]),
-            cfg.trace_length,
-        )
+        traj = (unperm_t(tr["obs"]), unperm_t(tr["action"]),
+                unperm_t(tr["reward"]), unperm_t(tr["done"]))
         n_done = stat_counts[0] + stat_counts[2]
         epsilon = jnp.maximum(
             jnp.float32(cfg.min_epsilon),
@@ -522,7 +545,6 @@ class DRQNLearner:
         )
         state = state._replace(
             key=key,
-            buffer=buffer,
             env_state=new_env,
             hid_b=Hidden(h=hid_out[0:H].T[None], c=hid_out[H:2 * H].T[None]),
             hid_opp=Hidden(h=hid_out[2 * H:3 * H].T[None],
@@ -533,13 +555,20 @@ class DRQNLearner:
             epsilon=epsilon,
             episodes=state.episodes + n_done,
         )
+        if not push:
+            # sharded-learner mode: the chunk is pushed per-shard inside
+            # _update_sharded (the env axis stays sharded end to end)
+            return state, stat_counts, ret_sum, traj
+        state = state._replace(
+            buffer=seq_push_rollout(state.buffer, *traj, cfg.trace_length)
+        )
         return state, stat_counts, ret_sum
 
     # -- rollout -----------------------------------------------------------
     def _rollout(self, state: DRQNTrainState, opp_stack: QNetRNNParams,
-                 pool_size: Array):
+                 pool_size: Array, push: bool = True):
         if self.cfg.use_pallas_rollout and self._pallas_ok:
-            return self._rollout_pallas(state, opp_stack, pool_size)
+            return self._rollout_pallas(state, opp_stack, pool_size, push)
         if isinstance(opp_stack, PreparedRNNOpponents):
             opp_stack = opp_stack.raw
         cfg = self.cfg
@@ -685,13 +714,8 @@ class DRQNLearner:
         (env_state, hid_b, hid_opp, opp_idx, ep_return, epsilon,
          episodes) = carry
         obs_t, act_t, rew_t, done_t = traj
-        buffer = seq_push_rollout(
-            state.buffer, obs_t, act_t, rew_t, done_t,
-            cfg.trace_length,
-        )
         state = state._replace(
             key=key,
-            buffer=buffer,
             env_state=env_state,
             hid_b=hid_b,
             hid_opp=hid_opp,
@@ -700,6 +724,14 @@ class DRQNLearner:
             ended=jnp.any(done_t_all, axis=0),
             epsilon=epsilon,
             episodes=episodes,
+        )
+        if not push:
+            return (state, jnp.sum(stats, axis=0), jnp.sum(ret_sums),
+                    (obs_t, act_t, rew_t, done_t))
+        state = state._replace(
+            buffer=seq_push_rollout(
+                state.buffer, obs_t, act_t, rew_t, done_t, cfg.trace_length
+            )
         )
         return state, jnp.sum(stats, axis=0), jnp.sum(ret_sums)
 
@@ -990,15 +1022,231 @@ class DRQNLearner:
         mean_loss = jnp.sum(losses) / jnp.maximum(n_ran.astype(jnp.float32), 1.0)
         return state, mean_loss, n_ran
 
+    # -- sharded learner: per-shard push + K updates -----------------------
+    def _push_update_sharded(self, state: DRQNTrainState, traj):
+        """Sharded sequence-replay learner (``learner_sharding="sharded"``;
+        round-4 VERDICT item 1, recurrent family). Per shard of ``data``,
+        under one ``shard_map``: the shard's own rollout chunk is pushed
+        into its LOCAL ring (no all-gather; ring HBM ~1/n), each update
+        samples ``batch_size/n`` trace windows from the local ring —
+        EXACT, because the window-uniform rule draws the env uniformly
+        and envs split evenly over shards, so stratifying by shard leaves
+        every window's inclusion probability unchanged — and the
+        masked-Huber mean is reduced globally (numerator, denominator and
+        raw gradients in ONE psum per update; the mean's normalization is
+        linear, so it follows the psum). The global admitted-episode
+        count (readiness gate, ref train_rnn_iterative.py:472) is
+        maintained by a single psum of the push's local admissions.
+
+        Semantics source: train_rnn_iterative.py:100-176 (buffer),
+        :460-520 (update)."""
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg
+        ax = self.data_axis
+        n = self.mesh.shape[ax]
+        bs_local = cfg.batch_size // n
+        K = cfg.updates_per_iteration
+        burn = cfg.burn_in_length
+        flat_b0, unravel = self._flat_util(state.params_b)
+        flat_t0, _ = self._flat_util(state.target_b)
+        tx = self.tx()
+
+        key, k_noise = jax.random.split(state.key)
+        noise_all = jax.vmap(
+            lambda k: qnet_rnn_sample_noise(k, state.params_b)
+        )(jax.random.split(k_noise, K))
+        key, k_samples = jax.random.split(key)
+
+        buf = state.buffer
+        opt_leaves, opt_def = jax.tree_util.tree_flatten(state.opt_state)
+
+        def shard_fn(flat_b0, flat_t0, opt_leaves, buffer, traj,
+                     noise_all, k_samples, train_steps0):
+            me = jax.lax.axis_index(ax)
+            ep_count_glob0 = buffer.ep_count      # replicated global count
+            buffer = buffer._replace(ep_count=jnp.int32(0))  # local delta
+            buffer = seq_push_rollout(buffer, *traj, cfg.trace_length)
+            ep_count_glob = ep_count_glob0 + jax.lax.psum(
+                buffer.ep_count, ax
+            )
+            buffer = buffer._replace(ep_count=ep_count_glob)
+            opt_state = jax.tree_util.tree_unflatten(opt_def, opt_leaves)
+
+            sample_flat = seq_sample(
+                buffer, jax.random.fold_in(k_samples, me), K * bs_local,
+                cfg.trace_length,
+            )
+            sample_all = jax.tree_util.tree_map(
+                lambda x: x.reshape((K, bs_local) + x.shape[1:]),
+                sample_flat,
+            )
+
+            def do_update(carry, xs):
+                flat_b, flat_t, opt_state, train_steps, synced = carry
+                noise, sample, qt_pre, h0t_pre = xs
+
+                def stale(_):
+                    q, h = self._target_q(unravel(flat_t), sample.next_obs)
+                    return (q, h) if burn > 0 else (q,)
+
+                if burn > 0:
+                    q_next_target, h0_t = jax.lax.cond(
+                        synced, stale, lambda _: (qt_pre, h0t_pre), None
+                    )
+                else:
+                    (q_next_target,) = jax.lax.cond(
+                        synced, stale, lambda _: (qt_pre,), None
+                    )
+                    h0_t = self._zero_hidden(bs_local)
+                w = sample.valid.astype(jnp.float32)
+
+                def loss_fn(flat):
+                    params = unravel(flat)
+                    obs_seq = sample.obs
+                    next_seq = sample.next_obs
+                    if burn > 0:
+                        _, h0 = qnet_rnn_apply(
+                            jax.lax.stop_gradient(params),
+                            obs_seq[:, :burn],
+                            self._zero_hidden(bs_local), None,
+                        )
+                        h0 = jax.tree_util.tree_map(
+                            jax.lax.stop_gradient, h0
+                        )
+                        obs_seq = obs_seq[:, burn:]
+                        next_seq = next_seq[:, burn:]
+                    else:
+                        h0 = self._zero_hidden(bs_local)
+                    x = jnp.concatenate([obs_seq, next_seq])
+                    h = Hidden(
+                        h=jnp.concatenate([h0.h, h0_t.h], axis=1),
+                        c=jnp.concatenate([h0.c, h0_t.c], axis=1),
+                    )
+                    q, _ = qnet_rnn_apply(params, x, h, noise)
+                    q_last, q_next_online = q[:bs_local], q[bs_local:]
+                    a_last = sample.action[:, -1]
+                    q_a = jnp.take_along_axis(
+                        q_last, a_last[:, None], axis=-1
+                    )[:, 0]
+                    na = jnp.argmax(q_next_online, axis=-1)
+                    nq = jnp.take_along_axis(
+                        q_next_target, na[:, None], axis=-1
+                    )[:, 0]
+                    r_last = sample.reward[:, -1]
+                    d_last = sample.done[:, -1].astype(jnp.float32)
+                    y = r_last + cfg.gamma * nq * (1.0 - d_last)
+                    td = q_a - jax.lax.stop_gradient(y)
+                    huber = jnp.where(
+                        jnp.abs(td) <= 1.0, 0.5 * td * td,
+                        jnp.abs(td) - 0.5,
+                    )
+                    # UNnormalized local sums; the global masked-mean
+                    # scale follows the psum (linearity)
+                    return jnp.sum(w * huber), jnp.sum(w)
+
+                (num_loc, den_loc), g_raw = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(flat_b)
+                g_sum, num, den = jax.lax.psum(
+                    (g_raw, num_loc, den_loc), ax
+                )
+                denom = jnp.maximum(den, 1.0)
+                loss = num / denom
+                updates, opt_state = tx.update(
+                    g_sum / denom, opt_state, flat_b
+                )
+                flat_b = optax.apply_updates(flat_b, updates)
+                train_steps = train_steps + 1
+                if cfg.target_tau > 0.0:
+                    flat_t = flat_t + cfg.target_tau * (flat_b - flat_t)
+                    sync = jnp.bool_(True)
+                else:
+                    sync = (train_steps % cfg.target_update_interval) == 0
+                    flat_t = jnp.where(sync, flat_b, flat_t)
+                return (flat_b, flat_t, opt_state, train_steps,
+                        synced | sync), loss
+
+            gate = cfg.batch_size * cfg.min_episodes_for_training_start
+            ready = ep_count_glob > gate
+            carry0 = (flat_b0, flat_t0, opt_state, train_steps0,
+                      jnp.bool_(cfg.target_tau > 0.0))
+
+            def run_all(carry):
+                qt_all, h0t_all = self._target_q(
+                    unravel(carry[1]), sample_flat.next_obs
+                )
+                qt_all = qt_all.reshape(K, bs_local, -1)
+                if burn > 0:
+                    h0t_all = jax.tree_util.tree_map(
+                        lambda x: x.reshape(
+                            x.shape[0], K, bs_local, x.shape[-1]
+                        ).swapaxes(0, 1),
+                        h0t_all,
+                    )
+                else:
+                    h0t_all = jnp.zeros((K,), jnp.float32)
+                return jax.lax.scan(
+                    do_update, carry,
+                    (noise_all, sample_all, qt_all, h0t_all), length=K,
+                )
+
+            def skip_all(carry):
+                return carry, jnp.zeros((K,), jnp.float32)
+
+            carry, losses = jax.lax.cond(ready, run_all, skip_all, carry0)
+            flat_b, flat_t, opt_state, train_steps, _ = carry
+            n_ran = jnp.where(ready, K, 0).astype(jnp.int32)
+            return (flat_b, flat_t,
+                    jax.tree_util.tree_leaves(opt_state),
+                    buffer, train_steps, losses, n_ran)
+
+        d3 = P(None, ax, None)
+        d2 = P(None, ax)
+        traj_spec = (d3, d2, d2, d2)        # obs, action, reward, done
+        buf_spec = buf._replace(
+            data=P(ax), ep_id=P(ax), cursor=P(), ep_count=P(),
+            cur_ep_id=P(ax), cur_ep_len=P(ax),
+            dir_env=P(), dir_start=P(), dir_len=P(), dir_id=P(),
+            dir_cursor=P(),
+        )
+        (flat_b, flat_t, opt_leaves2, buffer2, train_steps, losses,
+         n_ran) = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), buf_spec, traj_spec, P(), P(), P()),
+            out_specs=(P(), P(), P(), buf_spec, P(), P(), P()),
+            check_vma=False,
+        )(flat_b0, flat_t0, opt_leaves, buf, traj, noise_all,
+          k_samples, state.train_steps)
+
+        state = state._replace(
+            key=key,
+            params_b=unravel(flat_b),
+            target_b=unravel(flat_t),
+            opt_state=jax.tree_util.tree_unflatten(opt_def, opt_leaves2),
+            buffer=buffer2,
+            train_steps=train_steps,
+        )
+        mean_loss = jnp.sum(losses) / jnp.maximum(
+            n_ran.astype(jnp.float32), 1.0
+        )
+        return state, mean_loss, n_ran
+
     def _train_iteration(
         self, state: DRQNTrainState, opp_stack: QNetRNNParams, pool_size: Array
     ) -> Tuple[DRQNTrainState, DRQNMetrics]:
         ep_before = state.episodes
-        state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
-        if self._pallas_update_ok:
-            state, mean_loss, n_ran = self._update_pallas(state)
+        if self._learner_sharded:
+            state, stats, ret_sum, traj = self._rollout(
+                state, opp_stack, pool_size, push=False
+            )
+            state, mean_loss, n_ran = self._push_update_sharded(state, traj)
         else:
-            state, mean_loss, n_ran = self._update(state)
+            state, stats, ret_sum = self._rollout(state, opp_stack, pool_size)
+            if self._pallas_update_ok:
+                state, mean_loss, n_ran = self._update_pallas(state)
+            else:
+                state, mean_loss, n_ran = self._update(state)
         metrics = DRQNMetrics(
             episodes=state.episodes - ep_before,
             games_vs_a=stats[0],

@@ -43,6 +43,10 @@ def pytest_sessionstart(session):
 # suite stays the default for `pytest tests/`.
 
 _SLOW = {
+    ("test_sharded_learner.py", "test_sharded_dqn_matches_emulation"),
+    ("test_sharded_learner.py", "test_sharded_drqn_matches_emulation"),
+    ("test_sharded_learner.py",
+     "test_sharded_drqn_ep_count_matches_replicated"),
     ("test_actor_rollout.py", "test_chunk_boundary_rebinding_reaches_pool"),
     ("test_actor_rollout.py", "test_learner_integration_pallas_path"),
     ("test_actor_rollout.py", "test_matches_xla_greedy_before_resets"),
