@@ -214,12 +214,74 @@ def bench_pallas_rollout():
     return BATCH * CHUNK / _slope_time(run_n, 5, 5 + 5 * REPEATS)
 
 
+def parse_bands(perf_md_path=None):
+    """Parse the BENCH_BANDS block in docs/PERF.md.
+
+    Returns {key: (low, high, tol)}. The block is the machine-readable
+    form of the published performance claim (round-4 VERDICT item 3):
+    bench runs and tests/test_perf_bands.py both enforce it, so a
+    capture drifting below the published band fails loudly instead of
+    silently contradicting the docs."""
+    import os
+    import re
+
+    if perf_md_path is None:
+        perf_md_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "docs", "PERF.md"
+        )
+    text = open(perf_md_path).read()
+    m = re.search(r"BENCH_BANDS v1(.*?)END_BENCH_BANDS", text, re.S)
+    if not m:
+        raise ValueError(f"no BENCH_BANDS block in {perf_md_path}")
+    bands = {}
+    for line in m.group(1).splitlines():
+        line = line.strip()
+        if not line or "," not in line or line.startswith("Columns"):
+            continue
+        parts = [p.strip() for p in line.split(",")]
+        if len(parts) != 4:
+            continue
+        key, lo, hi, tol = parts
+        bands[key] = (float(lo), float(hi), float(tol))
+    if not bands:
+        raise ValueError("BENCH_BANDS block parsed empty")
+    return bands
+
+
+def check_band(bands, key, value):
+    """Returns (status, message); status in {'OK','BELOW','ABOVE','?'}"""
+    if key not in bands:
+        return "?", f"[band] {key}: no published band"
+    lo, hi, tol = bands[key]
+    floor = lo * (1.0 - tol)
+    if value < floor:
+        st = "BELOW"
+    elif value > hi:
+        st = "ABOVE"
+    else:
+        st = "OK"
+    return st, (f"[band] {key}: {value:,.0f} vs published "
+                f"[{lo:,.0f}, {hi:,.0f}] (fail floor {floor:,.0f}) "
+                f"-> {st}")
+
+
 def main():
+    strict = "--check-bands" in sys.argv
+    try:
+        bands = parse_bands()
+    except Exception as e:
+        if strict:
+            raise
+        print(f"[bench] band parse failed: {e}", file=sys.stderr)
+        bands = {}
+    measured = {}
     env_rate = bench_env_steps()
+    measured["xla_rollout"] = env_rate
     print(f"[bench] XLA scan rollout env-steps/s: {env_rate:,.0f}",
           file=sys.stderr)
     try:
         pallas_rate = bench_pallas_rollout()
+        measured["pallas_rollout"] = pallas_rate
         print(f"[bench] Pallas fused rollout env-steps/s: {pallas_rate:,.0f}",
               file=sys.stderr)
         env_rate = max(env_rate, pallas_rate)
@@ -227,25 +289,40 @@ def main():
         print(f"[bench] pallas bench failed: {e}", file=sys.stderr)
     try:
         train_rate = bench_train_iteration()
+        measured["dqn_train"] = train_rate
         print(f"[bench] train-iteration env-steps/s: {train_rate:,.0f}",
               file=sys.stderr)
         train_rate16 = bench_train_iteration(pool_n=16)
+        measured["dqn_train_pool16"] = train_rate16
         print(f"[bench] train-iteration (pool=16) env-steps/s: "
               f"{train_rate16:,.0f}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] train bench failed: {e}", file=sys.stderr)
     try:
         drqn_rate = bench_drqn_iteration()
+        measured["drqn_train"] = drqn_rate
         print(f"[bench] DRQN train-iteration env-steps/s: {drqn_rate:,.0f}",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] drqn bench failed: {e}", file=sys.stderr)
+    failed = []
+    for key, value in measured.items():
+        if not bands:
+            break
+        st, msg = check_band(bands, key, value)
+        print(msg, file=sys.stderr)
+        if st == "BELOW":
+            failed.append(key)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(env_rate),
         "unit": "steps/s",
         "vs_baseline": round(env_rate / 1e7, 4),
     }))
+    if failed and strict:
+        print(f"[bench] FAIL: below published band: {failed}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,7 @@ def measure_rate(
     n1: int = 5,
     n2: int = 15,
     use_pallas: Optional[bool] = None,
+    learner_sharding: str = "auto",
 ) -> float:
     """env-steps/s of the full train iteration on the first ``n_devices``
     visible devices (weak scaling: global batch = per_device * n)."""
@@ -79,6 +80,7 @@ def measure_rate(
         memory_size=max(per_device_envs * n_devices * 64, 65536),
         use_pallas_rollout=use_pallas,
         use_pallas_eval=use_pallas,
+        learner_sharding=learner_sharding,
     )
     learner = DQNLearner(_env_cfg(), cfg, mesh=mesh)
     state = learner.shard_state(learner.init_state(jax.random.PRNGKey(0)))
@@ -134,6 +136,11 @@ def main(argv=None) -> int:
     ap.add_argument("--rollout-length", type=int, default=128)
     ap.add_argument("--updates", type=int, default=64,
                     help="SGD updates per iteration")
+    ap.add_argument("--learner-sharding", default="auto",
+                    choices=("auto", "replicated", "sharded"),
+                    help="multi-chip learner layout (docs/PODRUN.md): "
+                         "auto switches to the sharded-PER learner "
+                         "above 16 chips")
     ap.add_argument("--n1", type=int, default=5)
     ap.add_argument("--n2", type=int, default=15,
                     help="slope-timing window (see bench.py discipline)")
@@ -158,7 +165,8 @@ def main(argv=None) -> int:
         ladder = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_vis]
     rows = run_ladder(ladder, args.per_device_envs,
                       rollout_length=args.rollout_length,
-                      updates=args.updates, n1=args.n1, n2=args.n2)
+                      updates=args.updates, n1=args.n1, n2=args.n2,
+                      learner_sharding=args.learner_sharding)
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "value": rows[-1]["scaling_efficiency"],
