@@ -43,6 +43,7 @@ def pytest_sessionstart(session):
 # suite stays the default for `pytest tests/`.
 
 _SLOW = {
+    ("test_selfplay_mesh.py", "test_sharded_learner_full_state_resume"),
     ("test_sharded_learner.py", "test_sharded_dqn_matches_emulation"),
     ("test_sharded_learner.py", "test_sharded_drqn_matches_emulation"),
     ("test_sharded_learner.py",
