@@ -205,6 +205,41 @@ def main():
     print("\n".join(lines))
     print(f"\nwrote {out}")
 
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        eps_runs = get_runs(("eps", ("exact", "chunk")), range(4))
+        for (arm, s), ev in sorted(eps_runs.items()):
+            ys = [e["win_vs_pool"] for e in ev if "win_vs_pool" in e]
+            style = "-o" if arm == "exact" else "--s"
+            axes[0].plot(range(1, len(ys) + 1), ys, style,
+                         label=f"eps_{arm}_s{s}", alpha=0.75)
+        axes[0].set_xlabel("1500-episode block")
+        axes[0].set_ylabel("balanced win rate vs bot")
+        axes[0].set_title("A/B 1 (n=4/arm): per-episode vs per-chunk "
+                          "epsilon decay")
+        axes[0].legend(fontsize=6, ncol=2)
+        bind_runs = get_runs(("bind", ("bucketed", "sorted")), range(4))
+        for (arm, s), ev in sorted(bind_runs.items()):
+            ys = [e["win_vs_pool"] for e in ev if "win_vs_pool" in e]
+            style = "-o" if arm == "bucketed" else "--s"
+            axes[1].plot(range(1, len(ys) + 1), ys, style,
+                         label=f"bind_{arm}_s{s}", alpha=0.75)
+        axes[1].set_xlabel("1500-episode block")
+        axes[1].set_ylabel("win rate vs fixed 3-member pool")
+        axes[1].set_title("A/B 3 (n=4/arm): bucketed vs iid binding")
+        axes[1].legend(fontsize=6, ncol=2)
+        fig.tight_layout()
+        png = os.path.join(HERE, "curves2.png")
+        fig.savefig(png, dpi=120)
+        print(f"plot: {png}")
+    except Exception as e:  # matplotlib optional
+        print(f"(plot skipped: {e})")
+
 
 if __name__ == "__main__":
     main()
