@@ -45,6 +45,7 @@ def pytest_sessionstart(session):
 _SLOW = {
     ("test_selfplay_mesh.py", "test_sharded_learner_full_state_resume"),
     ("test_sharded_learner.py", "test_sharded_dqn_matches_emulation"),
+    ("test_sharded_learner.py", "test_sharded_drqn_burn_in_runs"),
     ("test_sharded_learner.py", "test_sharded_drqn_matches_emulation"),
     ("test_sharded_learner.py",
      "test_sharded_drqn_ep_count_matches_replicated"),

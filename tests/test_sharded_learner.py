@@ -549,3 +549,22 @@ def test_sharded_drqn_layout_and_fallbacks():
         lr = DRQNLearner(ENV, bad, mesh=mesh)
     assert not lr._learner_sharded
     assert any("falling back" in str(x.message) for x in w)
+
+
+def test_sharded_drqn_burn_in_runs():
+    """Burn-in composes with the sharded update (the per-shard target
+    burn-in hidden reshape is the shape-fragile part)."""
+    mesh = create_mesh(MeshConfig())
+    cfg = DRQNConfig(**{**_drqn_cfg().__dict__,
+                        "trace_length": 6, "burn_in_length": 2})
+    learner = DRQNLearner(ENV, cfg, mesh=mesh)
+    assert learner._learner_sharded
+    params = learner.init_params(jax.random.PRNGKey(0))
+    state = learner.shard_state(
+        learner.init_state(jax.random.PRNGKey(1), params))
+    opp, pn = stack_rnn_opponents(params, [])
+    m = None
+    for _ in range(6):
+        state, m = learner.train_iteration(state, opp, jnp.int32(pn))
+    assert int(m.updates_run) == cfg.updates_per_iteration
+    assert bool(jnp.isfinite(m.mean_loss))
