@@ -19,12 +19,22 @@ def load_wins(path):
     names = sorted({r["p1"] for r in rows} | {r["p2"] for r in rows})
     idx = {n: i for i, n in enumerate(names)}
     W = np.zeros((len(names), len(names)))
+    draws = 0
     for r in rows:
         i, j = idx[r["p1"]], idx[r["p2"]]
         if r["winner"] == r["p1"]:
             W[i, j] += 1
-        else:
+        elif r["winner"] == r["p2"]:
             W[j, i] += 1
+        else:
+            # arena/round_robin write winner="draw" on equal scores; the
+            # standard BT tie handling is half a win each (fractional
+            # counts are fine for the MM update and the Fisher info)
+            W[i, j] += 0.5
+            W[j, i] += 0.5
+            draws += 1
+    if draws:
+        print(f"# note: {draws} drawn games counted as half-wins")
     return names, W
 
 

@@ -180,9 +180,13 @@ class DQNConfig:
     #     strength (shorter games vs a member => more episodes vs it).
     #     Also zero variance in per-member env counts (stratified, not
     #     iid). Learning-dynamics A/B vs "sorted": demo_fidelity/.
-    #     Falls back to "sorted" (with a warning) when the pool bucket
-    #     span has fewer env lanes than pool members, which would starve
-    #     some members entirely (train/dqn.py::bucketed_covers_pool).
+    #     When the pool bucket span has fewer env lanes than live pool
+    #     members (which would starve the lane-less members under a
+    #     fixed map), the member offset ROTATES per chunk so every
+    #     member is reached over successive chunks, uniform in time
+    #     average (train/dqn.py::bucket_opp_idx phase; round 5 — the
+    #     round-4 fall-back-to-"sorted" could only see the padded
+    #     pool_max and fired spuriously).
     #   "sorted" — iid per-episode draws (the reference's exact joint
     #     distribution); envs are argsorted by bound member each chunk.
     opponent_binding: str = "bucketed"

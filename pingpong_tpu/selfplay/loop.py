@@ -501,6 +501,9 @@ class QNetSelfPlay:
                     self.done_generations += 1
                     break
         if self.cfg.save_latest_checkpoint_interval_steps > 0:
+            # final full state; wait=True joins the write — durability
+            # contract stated here once (no separate flush needed)
             self.autosave(wait=True)
-        self.flush_autosave()
+        else:
+            self.flush_autosave()   # join any in-flight periodic save
         return self.records

@@ -413,6 +413,7 @@ class DRQNSelfPlay:
                     )
                     self.done_generations += 1
                     break
+        # final full state; wait=True joins the write (durability
+        # contract stated once — no separate flush needed)
         self.autosave(wait=True)
-        self.flush_autosave()
         return self.records

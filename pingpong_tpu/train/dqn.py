@@ -155,15 +155,18 @@ class PreparedOpponents:
 
 def bucketed_covers_pool(num_envs: int, ratio: float, n_members: int) -> bool:
     """True when the pool-bucket span has at least one env lane per
-    member. ``bucket_opp_idx``'s even split gives some members ZERO envs
-    when ``span < n_members`` (small num_envs*ratio, large pool) — unlike
-    the reference's iid draw, which reaches every member — so callers
-    fall back to the "sorted" (iid) binding below this floor."""
+    member. Below this floor a FIXED bucket map would never train
+    against some members (``bucket_opp_idx``'s even split gives them
+    zero envs), so the binding switches to the rotating variant — see
+    ``bucket_opp_idx(phase=...)``. Kept as a public predicate for tests
+    and capacity planning (span >= members is also the regime where the
+    kernel-tile member span stays <= 2)."""
     boundary = int(round((1.0 - ratio) * num_envs))
     return (num_envs - boundary) >= max(n_members, 1)
 
 
-def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array) -> Array:
+def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array,
+                   phase: Optional[Array] = None) -> Array:
     """Deterministic contiguous bucket assignment for
     ``opponent_binding="bucketed"``: the first ``round((1-ratio)*B)`` envs
     bind to frozen A (slot 0), the rest split evenly (within one env) over
@@ -171,11 +174,24 @@ def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array) -> Array:
     opponent marginal (train_iterative.py:235-236) exactly — stratified
     instead of iid; see config.schema.DQNConfig.opponent_binding for the
     episode-mixture caveat — and is nondecreasing in env index, so kernel
-    tiles span <= 2 members with no argsort."""
+    tiles span <= 2 members with no argsort.
+
+    When the pool-bucket span has FEWER lanes than members (small
+    ``num_envs*ratio``, large pool — ``bucketed_covers_pool`` False) a
+    fixed map would starve the members without a lane. ``phase`` (any
+    monotone-ish counter, the callers pass ``state.episodes``) engages a
+    ROTATING variant in exactly that regime: the member offset shifts by
+    ``phase mod pool_size`` at each re-bind, so every member is reached
+    over successive chunks and the TIME-AVERAGED per-episode marginal
+    stays uniform over the pool. The covered regime is untouched (the
+    round-5 dynamics A/B in demo_fidelity/ measured the fixed map)."""
     idx = jnp.arange(num_envs, dtype=jnp.int32)
     boundary = int(round((1.0 - ratio) * num_envs))
     span = max(num_envs - boundary, 1)
     m = ((idx - boundary) * pool_size) // span
+    if phase is not None:
+        ps = jnp.maximum(pool_size, 1)
+        m = jnp.where(span < pool_size, (m + phase % ps) % ps, m)
     return jnp.where((idx < boundary) | (pool_size == 0), 0, m + 1)
 
 
@@ -252,8 +268,16 @@ class DQNLearner:
             raise ValueError(f"unknown learner_sharding={mode!r}")
         ndata = 1 if mesh is None else mesh.shape[data_axis]
         self._learner_sharded = False
-        if ndata > 1 and (mode == "sharded"
-                          or (mode == "auto" and ndata > 16)):
+        if mode == "sharded" and ndata <= 1:
+            import warnings
+
+            warnings.warn(
+                "learner_sharding='sharded' requested but the mesh has "
+                "one data shard — running the single-device learner",
+                stacklevel=2,
+            )
+        elif ndata > 1 and (mode == "sharded"
+                            or (mode == "auto" and ndata > 16)):
             div_ok = (
                 cfg.num_envs % ndata == 0
                 and cfg.batch_size % ndata == 0
@@ -264,14 +288,20 @@ class DQNLearner:
                 # sharded mode uses the XLA update math per shard: row
                 # replay layout, no fused block
                 self._pallas_update_ok = False
-            elif mode == "sharded":
+            else:
+                # warn for BOTH the explicit request and the auto
+                # crossover: silently keeping the replicated learner at
+                # large n reintroduces the linearly-growing all-gather
+                # the mode exists to avoid (docs/PODRUN.md)
                 import warnings
 
                 warnings.warn(
-                    "learner_sharding='sharded' needs num_envs and "
+                    f"learner_sharding={mode!r} wants the sharded "
+                    f"learner on {ndata} shards but needs num_envs and "
                     "batch_size divisible by the data-axis size and "
                     "memory_size divisible by 128*n; falling back to "
-                    "'replicated'", stacklevel=2,
+                    "'replicated' (per-chip all-gather grows with n)",
+                    stacklevel=2,
                 )
         self._pallas_interpret = False   # tests flip for CPU interpret runs
         self.train_iteration = jax.jit(self._train_iteration, donate_argnums=(0,))
@@ -480,30 +510,26 @@ class DQNLearner:
             opp_idx = state.opp_idx
             env_state = state.env_state
             ep_return = state.ep_return
-        elif cfg.opponent_binding == "bucketed" and bucketed_covers_pool(
-            cfg.num_envs, cfg.selfplay.opponent_pool_ratio, n_slots - 1
-        ):
+        elif cfg.opponent_binding == "bucketed":
             # sort-free: envs re-bind into fixed contiguous buckets (see
             # bucket_opp_idx) — no argsort, no env-state gathers, and
-            # every kernel tile spans <= 2 members at any pool size
+            # every kernel tile spans <= 2 members whenever the bucket
+            # span covers the pool; the starved corner (span < live
+            # members) rotates the member offset per chunk via phase so
+            # every member is reached (round-5: replaces the round-4
+            # fall-back-to-sorted, whose static check could only see the
+            # PADDED pool_max and fired spuriously)
             target = bucket_opp_idx(
-                cfg.num_envs, cfg.selfplay.opponent_pool_ratio, pool_size
+                cfg.num_envs, cfg.selfplay.opponent_pool_ratio, pool_size,
+                phase=state.episodes,
             )
             opp_idx = jnp.where(state.ended, target, state.opp_idx)
             env_state = state.env_state
             ep_return = state.ep_return
         else:
             # "sorted": iid per-episode draws, envs argsorted by bound
-            # member so kernel tiles span short ranges. Also the fallback
-            # when "bucketed" cannot give every member an env lane.
-            if cfg.opponent_binding == "bucketed":
-                import warnings
-
-                warnings.warn(
-                    "opponent_binding='bucketed' needs num_envs*ratio >= "
-                    f"pool members ({n_slots - 1}); falling back to "
-                    "'sorted' (iid) binding", stacklevel=2,
-                )
+            # member so kernel tiles span short ranges (the reference's
+            # exact joint distribution).
             use_pool = (
                 jax.random.uniform(k_gate, (cfg.num_envs,))
                 < cfg.selfplay.opponent_pool_ratio
@@ -860,6 +886,37 @@ class DQNLearner:
         )
         return state, mean_loss, n_ran
 
+    # -- shared Double-DQN math (one definition for every learner path) ----
+    def _double_dqn_td(self, flat_b, flat_t, unravel, x2, actions,
+                       rewards, dones, noise2, bs):
+        """TD residual of the Double-DQN target (train_iterative.py:
+        132-156): dual-net batched forward over the packed (obs||next)
+        lanes, online argmax, target bootstrap, stop-grad target. ONE
+        definition shared by the replicated ``_update`` and the sharded
+        ``_push_update_sharded`` loss functions — only the IS weighting
+        and the reduction differ at the call sites, the TD math must
+        not (the fused Pallas kernel carries the third copy, pinned to
+        this one by the kernel-vs-autodiff parity suite)."""
+        both = jax.vmap(unravel)(jnp.stack([flat_b, flat_t]))
+        q2 = jax.vmap(qnet_apply)(both, x2, noise2)
+        q = q2[0, 0::2]
+        q_a = jnp.take_along_axis(q, actions[:, None], axis=-1)[:, 0]
+        # Double DQN: online-net argmax (int — no grad path)
+        na = jnp.argmax(q2[0, 1::2], axis=-1)
+        nq = jnp.take_along_axis(q2[1, :bs], na[:, None], axis=-1)[:, 0]
+        y = rewards + self.cfg.gamma * nq * (
+            1.0 - dones.astype(jnp.float32)
+        )
+        return q_a - jax.lax.stop_gradient(y)
+
+    def _sync_target(self, flat_b, flat_t, train_steps):
+        """Hard sync every interval (ref :157-159) or soft Polyak
+        (framework knob) — shared by both learner paths."""
+        if self.cfg.target_tau > 0.0:
+            return flat_t + self.cfg.target_tau * (flat_b - flat_t)
+        sync = (train_steps % self.cfg.target_update_interval) == 0
+        return jnp.where(sync, flat_b, flat_t)
+
     # -- sharded learner: per-shard push + K updates -----------------------
     def _push_update_sharded(self, state: DQNTrainState, traj: Transition):
         """Sharded-PER learner (``learner_sharding="sharded"``; the
@@ -948,20 +1005,10 @@ class DQNLearner:
                 w_raw = sample.weights          # exact stratified-IS raw
 
                 def loss_fn(flat):
-                    both = jax.vmap(unravel)(jnp.stack([flat, flat_t]))
-                    q2 = jax.vmap(qnet_apply)(both, x2, noise2)
-                    q = q2[0, 0::2]
-                    q_a = jnp.take_along_axis(
-                        q, tr.action[:, None], axis=-1
-                    )[:, 0]
-                    na = jnp.argmax(q2[0, 1::2], axis=-1)
-                    nq = jnp.take_along_axis(
-                        q2[1, :bs_local], na[:, None], axis=-1
-                    )[:, 0]
-                    y = tr.reward + cfg.gamma * nq * (
-                        1.0 - tr.done.astype(jnp.float32)
+                    td = self._double_dqn_td(
+                        flat, flat_t, unravel, x2, tr.action, tr.reward,
+                        tr.done, noise2, bs_local,
                     )
-                    td = q_a - jax.lax.stop_gradient(y)
                     # UNnormalized local partial sum; the global
                     # (1/(bs*wmax)) scale follows the collectives
                     return jnp.sum(w_raw * td * td), jnp.abs(td)
@@ -982,11 +1029,7 @@ class DQNLearner:
                     cfg.per_eps,
                 )
                 train_steps = train_steps + 1
-                if cfg.target_tau > 0.0:
-                    flat_t = flat_t + cfg.target_tau * (flat_b - flat_t)
-                else:
-                    sync = (train_steps % cfg.target_update_interval) == 0
-                    flat_t = jnp.where(sync, flat_b, flat_t)
+                flat_t = self._sync_target(flat_b, flat_t, train_steps)
                 return (flat_b, flat_t, opt_state, buffer, train_steps,
                         frame), loss_sum * scale
 
@@ -1091,15 +1134,10 @@ class DQNLearner:
             x2 = jnp.stack([pairs, jnp.concatenate([nexts, nexts])])
 
             def loss_fn(flat):
-                both = jax.vmap(unravel)(jnp.stack([flat, flat_t]))
-                q2 = jax.vmap(qnet_apply)(both, x2, noise2)
-                q = q2[0, 0::2]
-                q_a = jnp.take_along_axis(q, tr.action[:, None], axis=-1)[:, 0]
-                # Double DQN: online-net argmax (int — no grad path)
-                na = jnp.argmax(q2[0, 1::2], axis=-1)
-                nq = jnp.take_along_axis(q2[1, :bs], na[:, None], axis=-1)[:, 0]
-                y = tr.reward + cfg.gamma * nq * (1.0 - tr.done.astype(jnp.float32))
-                td = q_a - jax.lax.stop_gradient(y)
+                td = self._double_dqn_td(
+                    flat, flat_t, unravel, x2, tr.action, tr.reward,
+                    tr.done, noise2, bs,
+                )
                 loss = jnp.mean(sample.weights * td * td)
                 return loss, jnp.abs(td)
 
@@ -1113,13 +1151,7 @@ class DQNLearner:
                 buffer, sample.indices, td_abs, cfg.per_alpha, cfg.per_eps
             )
             train_steps = train_steps + 1
-            if cfg.target_tau > 0.0:
-                # soft (Polyak) target updates (framework addition; the
-                # reference hard-copies every interval)
-                flat_t = flat_t + cfg.target_tau * (flat_b - flat_t)
-            else:
-                sync = (train_steps % cfg.target_update_interval) == 0
-                flat_t = jnp.where(sync, flat_b, flat_t)
+            flat_t = self._sync_target(flat_b, flat_t, train_steps)
             return (flat_b, flat_t, opt_state, buffer, train_steps,
                     frame), loss
 

@@ -69,7 +69,6 @@ from pingpong_tpu.replay.sequence import (
 
 Array = jax.Array
 
-from pingpong_tpu.train.dqn import bucketed_covers_pool as _bucketed_ok  # noqa: E402
 
 
 class DRQNTrainState(NamedTuple):
@@ -191,21 +190,32 @@ class DRQNLearner:
             raise ValueError(f"unknown learner_sharding={mode!r}")
         ndata = 1 if mesh is None else mesh.shape[data_axis]
         self._learner_sharded = False
-        if ndata > 1 and (mode == "sharded"
-                          or (mode == "auto" and ndata > 16)):
+        if mode == "sharded" and ndata <= 1:
+            import warnings
+
+            warnings.warn(
+                "learner_sharding='sharded' requested but the mesh has "
+                "one data shard — running the single-device learner",
+                stacklevel=2,
+            )
+        elif ndata > 1 and (mode == "sharded"
+                            or (mode == "auto" and ndata > 16)):
             div_ok = (cfg.num_envs % ndata == 0
                       and cfg.batch_size % ndata == 0)
             if cfg.episode_uniform_sampling or not div_ok:
-                if mode == "sharded":
-                    import warnings
+                # warn for the explicit request AND the auto crossover
+                # (silent replication at large n reintroduces the
+                # linearly-growing chunk all-gather, docs/PODRUN.md)
+                import warnings
 
-                    warnings.warn(
-                        "learner_sharding='sharded' needs num_envs and "
-                        "batch_size divisible by the data-axis size and "
-                        "episode_uniform_sampling=False (the episode "
-                        "directory is global bookkeeping); falling back "
-                        "to 'replicated'", stacklevel=2,
-                    )
+                warnings.warn(
+                    f"learner_sharding={mode!r} wants the sharded "
+                    f"learner on {ndata} shards but needs num_envs and "
+                    "batch_size divisible by the data-axis size and "
+                    "episode_uniform_sampling=False (the episode "
+                    "directory is global bookkeeping); falling back to "
+                    "'replicated'", stacklevel=2,
+                )
             else:
                 self._learner_sharded = True
                 self._pallas_update_ok = False
@@ -412,24 +422,17 @@ class DRQNLearner:
         sort_envs = False
         if n_slots == 1:
             opp_idx = state.opp_idx
-        elif cfg.opponent_binding == "bucketed" and _bucketed_ok(
-            cfg.num_envs, cfg.selfplay.opponent_pool_ratio, n_slots - 1
-        ):
+        elif cfg.opponent_binding == "bucketed":
             from pingpong_tpu.train.dqn import bucket_opp_idx
 
+            # starved corner (span < live members) rotates the member
+            # offset per chunk — see train/dqn.py::bucket_opp_idx
             target = bucket_opp_idx(
-                cfg.num_envs, cfg.selfplay.opponent_pool_ratio, pool_size
+                cfg.num_envs, cfg.selfplay.opponent_pool_ratio, pool_size,
+                phase=state.episodes,
             )
             opp_idx = jnp.where(state.ended, target, state.opp_idx)
         else:
-            if cfg.opponent_binding == "bucketed":
-                import warnings
-
-                warnings.warn(
-                    "opponent_binding='bucketed' needs num_envs*ratio >= "
-                    f"pool members ({n_slots - 1}); falling back to "
-                    "'sorted' (iid) binding", stacklevel=2,
-                )
             use_pool = (
                 jax.random.uniform(k_gate, (cfg.num_envs,))
                 < cfg.selfplay.opponent_pool_ratio
@@ -759,6 +762,54 @@ class DRQNLearner:
         # hidden instead of threading dead state through the update scan
         return q, None
 
+    def _drqn_huber(self, flat, unravel, sample, noise, q_next_target,
+                    h0_t, bs):
+        """Per-sample Smooth-L1 losses (bs,) of the last-timestep
+        Double-DQN residual (ref train_rnn_iterative.py:460-520):
+        optional burn-in split, fused online (s, s') forward, online
+        argmax into the target bootstrap. ONE definition shared by the
+        replicated ``_update`` and the sharded ``_push_update_sharded``
+        loss functions — only the masked-mean reduction differs at the
+        call sites (the fused Pallas kernel carries the third copy,
+        pinned by its kernel-vs-autodiff parity suite)."""
+        cfg = self.cfg
+        burn = cfg.burn_in_length
+        params = unravel(flat)
+        obs_seq = sample.obs
+        next_seq = sample.next_obs
+        if burn > 0:
+            # burn-in (the reference scaffolds this, :431-448): warm the
+            # hidden on the first `burn` frames without gradient
+            _, h0 = qnet_rnn_apply(
+                jax.lax.stop_gradient(params),
+                obs_seq[:, :burn], self._zero_hidden(bs), None,
+            )
+            h0 = jax.tree_util.tree_map(jax.lax.stop_gradient, h0)
+            obs_seq = obs_seq[:, burn:]
+            next_seq = next_seq[:, burn:]
+        else:
+            h0 = self._zero_hidden(bs)
+        # online (s, s') fused forward: one 2*bs-row pass
+        x = jnp.concatenate([obs_seq, next_seq])
+        h = Hidden(
+            h=jnp.concatenate([h0.h, h0_t.h], axis=1),
+            c=jnp.concatenate([h0.c, h0_t.c], axis=1),
+        )
+        q, _ = qnet_rnn_apply(params, x, h, noise)
+        q_last, q_next_online = q[:bs], q[bs:]
+        a_last = sample.action[:, -1]
+        q_a = jnp.take_along_axis(q_last, a_last[:, None], axis=-1)[:, 0]
+        na = jnp.argmax(q_next_online, axis=-1)
+        nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
+        r_last = sample.reward[:, -1]
+        d_last = sample.done[:, -1].astype(jnp.float32)
+        y = r_last + cfg.gamma * nq * (1.0 - d_last)
+        td = q_a - jax.lax.stop_gradient(y)
+        # Smooth-L1 (Huber, delta=1) as in ref :500
+        return jnp.where(
+            jnp.abs(td) <= 1.0, 0.5 * td * td, jnp.abs(td) - 0.5
+        )
+
     def _update_pallas(self, state: DRQNTrainState):
         """Fused update block: all K SGD steps in one Pallas program (see
         ops/drqn_update.py). Key discipline and sampling are IDENTICAL to
@@ -924,43 +975,10 @@ class DRQNLearner:
             w = sample.valid.astype(jnp.float32)
 
             def loss_fn(flat):
-                params = unravel(flat)
-                obs_seq = sample.obs
-                next_seq = sample.next_obs
-                if burn > 0:
-                    # optional burn-in (the reference scaffolds this,
-                    # :431-448): warm the hidden on the first `burn` frames
-                    # without gradient, train on the remainder
-                    _, h0 = qnet_rnn_apply(
-                        jax.lax.stop_gradient(params),
-                        obs_seq[:, :burn], self._zero_hidden(bs), None,
-                    )
-                    h0 = jax.tree_util.tree_map(jax.lax.stop_gradient, h0)
-                    obs_seq = obs_seq[:, burn:]
-                    next_seq = next_seq[:, burn:]
-                else:
-                    h0 = self._zero_hidden(bs)
-                # online (s, s') fused forward: one 2*bs-row pass
-                x = jnp.concatenate([obs_seq, next_seq])
-                h = Hidden(
-                    h=jnp.concatenate([h0.h, h0_t.h], axis=1),
-                    c=jnp.concatenate([h0.c, h0_t.c], axis=1),
+                huber = self._drqn_huber(
+                    flat, unravel, sample, noise, q_next_target, h0_t, bs
                 )
-                q, _ = qnet_rnn_apply(params, x, h, noise)
-                q_last, q_next_online = q[:bs], q[bs:]
-                a_last = sample.action[:, -1]
-                q_a = jnp.take_along_axis(q_last, a_last[:, None], axis=-1)[:, 0]
-                na = jnp.argmax(q_next_online, axis=-1)
-                nq = jnp.take_along_axis(q_next_target, na[:, None], axis=-1)[:, 0]
-                r_last = sample.reward[:, -1]
-                d_last = sample.done[:, -1].astype(jnp.float32)
-                y = r_last + cfg.gamma * nq * (1.0 - d_last)
-                td = q_a - jax.lax.stop_gradient(y)
-                # Smooth-L1 (Huber, delta=1) as in ref :500 — masked mean
-                huber = jnp.where(
-                    jnp.abs(td) <= 1.0, 0.5 * td * td, jnp.abs(td) - 0.5
-                )
-                denom = jnp.maximum(jnp.sum(w), 1.0)
+                denom = jnp.maximum(jnp.sum(w), 1.0)   # masked mean
                 return jnp.sum(w * huber) / denom
 
             loss, grads = jax.value_and_grad(loss_fn)(flat_b)
@@ -1102,44 +1120,9 @@ class DRQNLearner:
                 w = sample.valid.astype(jnp.float32)
 
                 def loss_fn(flat):
-                    params = unravel(flat)
-                    obs_seq = sample.obs
-                    next_seq = sample.next_obs
-                    if burn > 0:
-                        _, h0 = qnet_rnn_apply(
-                            jax.lax.stop_gradient(params),
-                            obs_seq[:, :burn],
-                            self._zero_hidden(bs_local), None,
-                        )
-                        h0 = jax.tree_util.tree_map(
-                            jax.lax.stop_gradient, h0
-                        )
-                        obs_seq = obs_seq[:, burn:]
-                        next_seq = next_seq[:, burn:]
-                    else:
-                        h0 = self._zero_hidden(bs_local)
-                    x = jnp.concatenate([obs_seq, next_seq])
-                    h = Hidden(
-                        h=jnp.concatenate([h0.h, h0_t.h], axis=1),
-                        c=jnp.concatenate([h0.c, h0_t.c], axis=1),
-                    )
-                    q, _ = qnet_rnn_apply(params, x, h, noise)
-                    q_last, q_next_online = q[:bs_local], q[bs_local:]
-                    a_last = sample.action[:, -1]
-                    q_a = jnp.take_along_axis(
-                        q_last, a_last[:, None], axis=-1
-                    )[:, 0]
-                    na = jnp.argmax(q_next_online, axis=-1)
-                    nq = jnp.take_along_axis(
-                        q_next_target, na[:, None], axis=-1
-                    )[:, 0]
-                    r_last = sample.reward[:, -1]
-                    d_last = sample.done[:, -1].astype(jnp.float32)
-                    y = r_last + cfg.gamma * nq * (1.0 - d_last)
-                    td = q_a - jax.lax.stop_gradient(y)
-                    huber = jnp.where(
-                        jnp.abs(td) <= 1.0, 0.5 * td * td,
-                        jnp.abs(td) - 0.5,
+                    huber = self._drqn_huber(
+                        flat, unravel, sample, noise, q_next_target,
+                        h0_t, bs_local,
                     )
                     # UNnormalized local sums; the global masked-mean
                     # scale follows the psum (linearity)

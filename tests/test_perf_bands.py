@@ -43,7 +43,7 @@ def test_checker_flags_below_and_above():
 _TAIL_PATTERNS = {
     "xla_rollout": r"XLA scan rollout env-steps/s: ([\d,]+)",
     "pallas_rollout": r"Pallas fused rollout env-steps/s: ([\d,]+)",
-    "dqn_train": r"train-iteration env-steps/s: ([\d,]+)",
+    "dqn_train": r"(?<!DRQN )train-iteration env-steps/s: ([\d,]+)",
     "dqn_train_pool16": r"train-iteration \(pool=16\) env-steps/s: ([\d,]+)",
     "drqn_train": r"DRQN train-iteration env-steps/s: ([\d,]+)",
 }

@@ -183,16 +183,32 @@ def test_bucketed_binding_mixes_opponents():
     assert (oi[ended_all] == target[ended_all]).all()
 
 
-def test_bucketed_falls_back_when_span_starves_members():
-    """ADVICE r4: when the pool bucket span has fewer env lanes than pool
-    members, bucketed binding would never train against some members —
-    the learner must warn and fall back to the iid 'sorted' binding."""
+def test_bucketed_rotation_reaches_starved_members():
+    """ADVICE r4/r5: when the pool bucket span has fewer env lanes than
+    pool members, a fixed bucket map would never train against the
+    lane-less members. Round 5 replaces the round-4 fall-back-to-sorted
+    (whose static check saw only the PADDED pool_max and fired
+    spuriously) with a rotating member offset: over successive chunks
+    every member is reached, no warning, still sort-free."""
     import warnings
 
-    from pingpong_tpu.train.dqn import bucketed_covers_pool
+    from pingpong_tpu.train.dqn import bucket_opp_idx, bucketed_covers_pool
 
     assert bucketed_covers_pool(1000, 0.35, 4)
     assert not bucketed_covers_pool(16, 0.25, 6)   # span 4 < 6 members
+
+    # unit: the rotating map covers every member across phases
+    covered = set()
+    for phase in range(6):
+        ids = np.asarray(bucket_opp_idx(16, 0.25, jnp.int32(6),
+                                        phase=jnp.int32(phase)))
+        covered |= set(ids[ids > 0].tolist())
+    assert covered == set(range(1, 7))
+    # covered regime: phase leaves the fixed map untouched
+    fixed = np.asarray(bucket_opp_idx(1000, 0.35, jnp.int32(4)))
+    rot = np.asarray(bucket_opp_idx(1000, 0.35, jnp.int32(4),
+                                    phase=jnp.int32(3)))
+    np.testing.assert_array_equal(fixed, rot)
 
     cfg = small_cfg(
         num_envs=16, rollout_length=64, pool_max=6,
@@ -204,12 +220,12 @@ def test_bucketed_falls_back_when_span_starves_members():
     pool = [qnet_init(jax.random.PRNGKey(10 + i)) for i in range(6)]
     opp, n = stack_opponents(qnet_init(jax.random.PRNGKey(1)), pool,
                              cfg.pool_max)
+    seen = set()
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        for _ in range(6):
+        for _ in range(10):
             state, m = learner.train_iteration(state, opp, jnp.int32(n))
-    assert any("falling back to 'sorted'" in str(w.message) for w in caught)
-    # the iid fallback reaches members beyond the 4-lane bucket span:
-    # over enough episodes every member id shows up in the bindings
-    seen = set(np.asarray(state.opp_idx).tolist())
-    assert len(seen & set(range(1, 7))) >= 3
+            seen |= set(np.asarray(state.opp_idx).tolist())
+    assert not any("falling back" in str(w.message) for w in caught)
+    # rotation reaches members beyond the 4-lane bucket span over chunks
+    assert len(seen & set(range(1, 7))) >= 5
