@@ -126,7 +126,7 @@ def main():
     p("whole A/B 3 are fresh round-5 runs (run_study2a.sh/run_study2b.sh).\n")
 
     # ---- A/B 1 ------------------------------------------------------------
-    runs = get_runs(("eps", ("exact", "chunk")), range(4))
+    runs_eps = runs = get_runs(("eps", ("exact", "chunk")), range(4))
     p("## A/B 1 — epsilon decay granularity (exact per-episode vs "
       "per-chunk)\n")
     p("| run | win-vs-bot per block | run mean |")
@@ -162,7 +162,7 @@ def main():
     p("")
 
     # ---- A/B 3 ------------------------------------------------------------
-    runs = get_runs(("bind", ("bucketed", "sorted")), range(4))
+    runs_bind = runs = get_runs(("bind", ("bucketed", "sorted")), range(4))
     p("## A/B 3 — opponent binding (bucketed vs iid 'sorted'), fixed "
       "3-member pool\n")
     p("Pool = {bot, scratch5-8, league1_champ} (weak/mid/strong — "
@@ -205,15 +205,19 @@ def main():
     print("\n".join(lines))
     print(f"\nwrote {out}")
 
+    # scope the try to the imports only: a data bug in the plot path
+    # should fail loudly, not masquerade as "matplotlib missing"
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-
+    except ImportError as e:
+        print(f"(plot skipped: {e})")
+        return
+    if True:
         fig, axes = plt.subplots(1, 2, figsize=(11, 4))
-        eps_runs = get_runs(("eps", ("exact", "chunk")), range(4))
-        for (arm, s), ev in sorted(eps_runs.items()):
+        for (arm, s), ev in sorted(runs_eps.items()):
             ys = [e["win_vs_pool"] for e in ev if "win_vs_pool" in e]
             style = "-o" if arm == "exact" else "--s"
             axes[0].plot(range(1, len(ys) + 1), ys, style,
@@ -223,8 +227,7 @@ def main():
         axes[0].set_title("A/B 1 (n=4/arm): per-episode vs per-chunk "
                           "epsilon decay")
         axes[0].legend(fontsize=6, ncol=2)
-        bind_runs = get_runs(("bind", ("bucketed", "sorted")), range(4))
-        for (arm, s), ev in sorted(bind_runs.items()):
+        for (arm, s), ev in sorted(runs_bind.items()):
             ys = [e["win_vs_pool"] for e in ev if "win_vs_pool" in e]
             style = "-o" if arm == "bucketed" else "--s"
             axes[1].plot(range(1, len(ys) + 1), ys, style,
@@ -237,8 +240,6 @@ def main():
         png = os.path.join(HERE, "curves2.png")
         fig.savefig(png, dpi=120)
         print(f"plot: {png}")
-    except Exception as e:  # matplotlib optional
-        print(f"(plot skipped: {e})")
 
 
 if __name__ == "__main__":

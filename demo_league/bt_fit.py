@@ -26,13 +26,18 @@ def load_wins(path):
             W[i, j] += 1
         elif r["winner"] == r["p2"]:
             W[j, i] += 1
-        else:
+        elif r["winner"] == "draw":
             # arena/round_robin write winner="draw" on equal scores; the
             # standard BT tie handling is half a win each (fractional
             # counts are fine for the MM update and the Fisher info)
             W[i, j] += 0.5
             W[j, i] += 0.5
             draws += 1
+        else:
+            raise ValueError(
+                f"malformed match row: winner={r['winner']!r} is neither "
+                f"{r['p1']!r}, {r['p2']!r}, nor 'draw'"
+            )
     if draws:
         print(f"# note: {draws} drawn games counted as half-wins")
     return names, W

@@ -413,7 +413,10 @@ class DRQNSelfPlay:
                     )
                     self.done_generations += 1
                     break
-        # final full state; wait=True joins the write (durability
-        # contract stated once — no separate flush needed)
-        self.autosave(wait=True)
+        if self.cfg.save_latest_checkpoint_interval_steps > 0:
+            # final full state; wait=True joins the write (durability
+            # contract stated once — no separate flush needed)
+            self.autosave(wait=True)
+        else:
+            self.flush_autosave()   # autosaves disabled: nothing in flight
         return self.records

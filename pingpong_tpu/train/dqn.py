@@ -176,22 +176,37 @@ def bucket_opp_idx(num_envs: int, ratio: float, pool_size: Array,
     episode-mixture caveat — and is nondecreasing in env index, so kernel
     tiles span <= 2 members with no argsort.
 
-    When the pool-bucket span has FEWER lanes than members (small
-    ``num_envs*ratio``, large pool — ``bucketed_covers_pool`` False) a
-    fixed map would starve the members without a lane. ``phase`` (any
-    monotone-ish counter, the callers pass ``state.episodes``) engages a
-    ROTATING variant in exactly that regime: the member offset shifts by
-    ``phase mod pool_size`` at each re-bind, so every member is reached
-    over successive chunks and the TIME-AVERAGED per-episode marginal
-    stays uniform over the pool. The covered regime is untouched (the
-    round-5 dynamics A/B in demo_fidelity/ measured the fixed map)."""
+    The nondecreasing/<=2-member property holds in the COVERED regime
+    (span >= pool members). When the span has FEWER lanes than members
+    (small ``num_envs*ratio``, large pool — ``bucketed_covers_pool``
+    False) a fixed map would starve the members without a lane, so
+    ``phase`` (the callers pass ``state.episodes``) engages a ROTATING
+    variant in exactly that regime: the member offset shifts by an
+    integer-HASHED phase at each re-bind. The hash matters: a raw
+    ``phase % pool_size`` can alias — lockstep time-limit episodes make
+    the per-chunk episode increment a constant c, and the reachable
+    offsets are then the multiples of gcd(c, pool_size) — whereas the
+    mixed residues are pseudo-uniform, so every member is reached over
+    successive chunks with probability 1 and the TIME-AVERAGED
+    per-episode marginal stays uniform over the pool. In this starved
+    corner the map wraps modulo pool_size (no longer nondecreasing), so
+    a kernel tile's member range can span the pool — a bounded cost in
+    a regime with fewer pool lanes than members, paid for coverage. The
+    covered regime is bit-untouched (the round-5 dynamics A/B in
+    demo_fidelity/ measured the fixed map)."""
     idx = jnp.arange(num_envs, dtype=jnp.int32)
     boundary = int(round((1.0 - ratio) * num_envs))
     span = max(num_envs - boundary, 1)
     m = ((idx - boundary) * pool_size) // span
     if phase is not None:
         ps = jnp.maximum(pool_size, 1)
-        m = jnp.where(span < pool_size, (m + phase % ps) % ps, m)
+        # integer mix (xorshift-multiply) so consecutive phases hit
+        # pseudo-uniform residues mod pool_size — see docstring
+        h = jnp.uint32(phase)
+        h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+        h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+        h = (h ^ (h >> 16)).astype(jnp.int32) & jnp.int32(0x7FFFFFFF)
+        m = jnp.where(span < pool_size, (m + h % ps) % ps, m)
     return jnp.where((idx < boundary) | (pool_size == 0), 0, m + 1)
 
 

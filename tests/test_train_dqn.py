@@ -197,13 +197,19 @@ def test_bucketed_rotation_reaches_starved_members():
     assert bucketed_covers_pool(1000, 0.35, 4)
     assert not bucketed_covers_pool(16, 0.25, 6)   # span 4 < 6 members
 
-    # unit: the rotating map covers every member across phases
-    covered = set()
-    for phase in range(6):
-        ids = np.asarray(bucket_opp_idx(16, 0.25, jnp.int32(6),
-                                        phase=jnp.int32(phase)))
-        covered |= set(ids[ids > 0].tolist())
-    assert covered == set(range(1, 7))
+    # unit: the rotating map covers every member across phases — also
+    # under a CONSTANT phase increment with gcd(c, pool_size) > 1 (the
+    # aliasing mode of a raw `phase % pool`: lockstep time-limit
+    # episodes make the per-chunk episode count constant, e.g. c=16
+    # with pool 6 -> residues {0, 4, 2} only). The hashed phase breaks
+    # the arithmetic structure.
+    for step in (1, 16, 6):          # gcd(16,6)=2; gcd(6,6)=6 (worst)
+        covered = set()
+        for k in range(32):
+            ids = np.asarray(bucket_opp_idx(16, 0.25, jnp.int32(6),
+                                            phase=jnp.int32(k * step)))
+            covered |= set(ids[ids > 0].tolist())
+        assert covered == set(range(1, 7)), (step, covered)
     # covered regime: phase leaves the fixed map untouched
     fixed = np.asarray(bucket_opp_idx(1000, 0.35, jnp.int32(4)))
     rot = np.asarray(bucket_opp_idx(1000, 0.35, jnp.int32(4),
