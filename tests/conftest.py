@@ -37,13 +37,15 @@ def pytest_sessionstart(session):
 
 
 # ---- fast/slow tiers (VERDICT r3 item 9) -----------------------------------
-# Core correctness runs in `pytest -m "not slow"` (<3 min on this box);
+# Core correctness runs in `pytest -m "not slow"` (~5 min on this box);
 # kernel-interpret parity suites, ladders, and multi-iteration integration
 # tests are marked slow (measured >=5s each on the dev box). The full
 # suite stays the default for `pytest tests/`.
 
 _SLOW = {
     ("test_selfplay_mesh.py", "test_sharded_learner_full_state_resume"),
+    ("test_selfplay_mesh.py", "test_selfplay_sharded_learner_end_to_end"),
+    ("test_train_dqn.py", "test_bucketed_rotation_reaches_starved_members"),
     ("test_sharded_learner.py", "test_sharded_dqn_matches_emulation"),
     ("test_sharded_learner.py", "test_sharded_drqn_burn_in_runs"),
     ("test_sharded_learner.py", "test_sharded_drqn_matches_emulation"),
@@ -126,7 +128,7 @@ _SLOW = {
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "slow: >=5s on the dev box; `pytest -m 'not slow'` is the <3 min "
+        "slow: >=5s on the dev box; `pytest -m 'not slow'` is the ~5 min "
         "core-correctness tier",
     )
 
